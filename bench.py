@@ -1,0 +1,54 @@
+"""Benchmark harness: flagship sim+render steps/sec on real hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+The baseline target is 60 sim+render steps/sec at 128^3 on one TPU v5e chip
+(BASELINE.md).  Extra diagnostic lines go to stderr.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import entry
+
+    fn, (state, params) = entry()
+    step = jax.jit(fn, donate_argnums=(0,))
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    state, image = step(state, params)
+    jax.block_until_ready(image)
+    compile_s = time.perf_counter() - t0
+    print(f"# compile+first-step: {compile_s:.1f}s", file=sys.stderr)
+
+    # Let the smoke develop a few frames so the march does real work.
+    for _ in range(10):
+        state, image = step(state, params)
+    jax.block_until_ready(image)
+
+    # Timed run with async dispatch, blocking only at the end.
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, image = step(state, params)
+    jax.block_until_ready(image)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n / elapsed
+    baseline = 60.0
+    result = {
+        "metric": "sim+render steps/sec @128^3 (separate-light cube-map path)",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / baseline, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""The application engine: per-frame host math + one fused device program.
+
+Mirrors the reference frame (SURVEY.md section 3): FluidX::OnUpdate computes
+camera/LOD scalars on the CPU (FluidX12.cpp:257-285, Fluid::UpdateFrame,
+Fluid.cpp:283-346), then PopulateCommandList records simulate + render
+(FluidX12.cpp:435-588).  Here "record + execute" is a single jitted, donated
+`_step_and_render` call per frame; JAX async dispatch provides the
+triple-buffered frames-in-flight behavior (the host never blocks until it
+touches the output image).
+
+The jit cache keyed on (render method, LOD) is the analog of the reference's
+PipelineLib PSO cache: at most 4 methods x 5 mips variants, compiled on first
+use.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidx12_tpu.core import math3d as m3
+from fluidx12_tpu.core.camera import OrbitCamera
+from fluidx12_tpu.core.config import FluidConfig, RenderMethod
+from fluidx12_tpu.core.lod import estimate_cube_map_lod, gen_visibility_mask
+from fluidx12_tpu.core.state import FluidState, SceneParams, make_initial_state
+from fluidx12_tpu.gi.sh import project_cubemap_sh
+from fluidx12_tpu.render.cubemap import ray_march_cube
+from fluidx12_tpu.render.environment import render_environment
+from fluidx12_tpu.render.lightmap import render_light_map
+from fluidx12_tpu.render.raycast import ray_cast_direct
+from fluidx12_tpu.render.resolve import resolve_cube
+from fluidx12_tpu.render.visualize2d import visualize_color_2d
+from fluidx12_tpu.sim.step import simulate
+from fluidx12_tpu.utils.image import composite_premultiplied
+
+
+class FluidXEngine:
+    """Owns config, camera, state and the compiled step/render programs."""
+
+    def __init__(self, config: FluidConfig, radiance: Optional[np.ndarray] = None):
+        self.config = config.validate()
+        self.camera = OrbitCamera(
+            width=config.viewport[0],
+            height=config.viewport[1],
+            fov_y=config.fov_y,
+            z_near=config.z_near,
+            z_far=config.z_far,
+        )
+        self.world = m3.scaling(config.volume_scale)
+        self.world_i = m3.inverse(self.world)
+        self.state = make_initial_state(config)
+        self.render_method = RenderMethod.RAY_MARCH_SEPARATE
+        self.is_paused = False
+        self.frame_index = 0
+
+        # Light probe: DDS radiance -> SH coefficients, once at startup
+        # (ref: TransformSH on the first frame, FluidX12.cpp:455-461).
+        self.radiance = None
+        self.sh_coeffs = None
+        if radiance is not None and config.has_light_probe:
+            self.radiance = jnp.asarray(radiance, dtype=jnp.float32)
+            self.sh_coeffs = project_cubemap_sh(self.radiance, order=3)[:9]
+
+        self._programs: Dict[Tuple[RenderMethod, int], callable] = {}
+
+    # ------------------------------------------------------------------
+    # Host-side per-frame update (the CB upload analog)
+    # ------------------------------------------------------------------
+    def update_frame(self) -> Tuple[SceneParams, int]:
+        """Compute SceneParams + cube-map LOD from the camera; ref Fluid::UpdateFrame."""
+        cfg = self.config
+        dt = 0.0 if self.is_paused else cfg.time_step
+        wvp = self.world @ self.camera.view_proj
+        wvp_i = m3.inverse(wvp)
+        screen_to_world = m3.inverse(self.camera.view_proj)
+
+        lod, ray_samples = 0, cfg.max_ray_samples
+        mask = 0b111111
+        if cfg.is_3d:
+            lod, ray_samples = estimate_cube_map_lod(
+                cfg.max_ray_samples, cfg.num_cube_mips, float(cfg.cube_map_size),
+                wvp, cfg.viewport,
+            )
+            mask = gen_visibility_mask(self.world_i, self.camera.eye)
+
+        params = SceneParams(
+            time_step=jnp.float32(dt),
+            base_seed=jnp.uint32(np.random.randint(0, 2**31)),
+            eye_pt=jnp.asarray(self.camera.eye, jnp.float32),
+            light_pt=jnp.asarray(np.array(cfg.light_pos, np.float32)),
+            light_color=jnp.asarray(np.array(cfg.light_color, np.float32)),
+            ambient=jnp.asarray(np.array(cfg.ambient, np.float32)),
+            world=jnp.asarray(self.world),
+            world_i=jnp.asarray(self.world_i),
+            world_view_proj=jnp.asarray(wvp),
+            world_view_proj_i=jnp.asarray(wvp_i),
+            screen_to_world=jnp.asarray(screen_to_world),
+            num_samples=jnp.int32(ray_samples),
+            num_light_samples=jnp.int32(cfg.max_light_samples),
+            visibility_mask=jnp.int32(mask),
+        )
+        return params, lod
+
+    # ------------------------------------------------------------------
+    # Device-side fused step (jitted per method x lod)
+    # ------------------------------------------------------------------
+    def _build_program(self, method: RenderMethod, lod: int):
+        cfg = self.config
+        has_probe = self.sh_coeffs is not None
+
+        def step_and_render(state: FluidState, params: SceneParams,
+                            sh_coeffs, radiance):
+            state = simulate(state, params.time_step, cfg)
+            grid = state.color
+
+            if not cfg.is_3d:
+                rgba = visualize_color_2d(grid, cfg)
+            else:
+                light_map = None
+                if method.separate_light_pass:
+                    light_map = render_light_map(grid, params, cfg, sh_coeffs)
+                if method.uses_cube_map:
+                    cube = ray_march_cube(
+                        grid, params, cfg, lod=lod,
+                        light_map=light_map, sh_coeffs=sh_coeffs,
+                    )
+                    rgba = resolve_cube(cube, params, cfg)
+                else:
+                    rgba = ray_cast_direct(
+                        grid, params, cfg,
+                        light_map=light_map, sh_coeffs=sh_coeffs,
+                    )
+
+            # Background: clear color, then environment sky if present
+            # (FluidX12.cpp:469-484), then premultiplied composite.
+            bg = jnp.broadcast_to(
+                jnp.asarray(cfg.clear_color[:3], rgba.dtype), rgba.shape[:-1] + (3,)
+            )
+            if has_probe and radiance is not None and cfg.is_3d:
+                bg = render_environment(radiance, params, cfg)
+            image = composite_premultiplied(rgba, bg)
+            return state, jnp.clip(image, 0.0, 1.0)
+
+        return jax.jit(step_and_render, donate_argnums=(0,))
+
+    def _program(self, method: RenderMethod, lod: int):
+        key = (method, lod)
+        if key not in self._programs:
+            self._programs[key] = self._build_program(method, lod)
+        return self._programs[key]
+
+    # ------------------------------------------------------------------
+    def step_frame(self) -> jax.Array:
+        """One full frame; returns the (H, W, 3) float image (device array)."""
+        params, lod = self.update_frame()
+        program = self._program(self.render_method, lod)
+        self.state, image = program(self.state, params, self.sh_coeffs, self.radiance)
+        self.frame_index += 1
+        return image
+
+    # -- hotkey analogs (ref: FluidX12.cpp:311-334) ---------------------
+    def toggle_pause(self):
+        self.is_paused = not self.is_paused
+
+    def next_method(self):
+        self.render_method = self.render_method.next()
+
+    def prev_method(self):
+        self.render_method = self.render_method.prev()

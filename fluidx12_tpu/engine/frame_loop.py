@@ -1,0 +1,71 @@
+"""Frame loop with async pipelining, FPS stats and screenshots.
+
+Mirrors the reference shell loop (Win32Application::Run + StepTimer +
+CalculateFrameStats, FluidX12.cpp:662-710): runs frames back to back, keeps
+up to `frames_in_flight` device steps outstanding (the analog of the
+triple-buffered fence pacing, FluidX12.cpp:591-638) by holding unresolved
+device arrays, reports steps/sec once per second, and saves PNG screenshots
+on request (SaveImage, FluidX12.cpp:640-660).
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from fluidx12_tpu.engine.fluidx import FluidXEngine
+from fluidx12_tpu.utils.image import to_srgb_u8
+from fluidx12_tpu.utils.png import write_png
+
+
+class FrameLoop:
+    FRAMES_IN_FLIGHT = 3  # ref FrameCount (Fluid.h:35)
+
+    def __init__(self, engine: FluidXEngine, show_fps: bool = True):
+        self.engine = engine
+        self.show_fps = show_fps
+        self._in_flight = collections.deque()
+        self._fps_window_start = time.perf_counter()
+        self._fps_frame_count = 0
+        self.last_fps: Optional[float] = None
+
+    def run(self, num_frames: int, screenshot_path: Optional[str] = None,
+            screenshot_every: Optional[int] = None) -> Optional[np.ndarray]:
+        """Run `num_frames`; returns the last frame as uint8 (H, W, 3)."""
+        image = None
+        last = None
+        for i in range(num_frames):
+            image = self.engine.step_frame()
+            # Frame pacing: block only when more than FRAMES_IN_FLIGHT steps
+            # are outstanding (MoveToNextFrame waits on frame N-3).
+            self._in_flight.append(image)
+            if len(self._in_flight) > self.FRAMES_IN_FLIGHT:
+                self._in_flight.popleft().block_until_ready()
+            self._tick_fps()
+            if screenshot_every and (i + 1) % screenshot_every == 0 and screenshot_path:
+                path = screenshot_path.format(frame=i + 1)
+                write_png(path, to_srgb_u8(np.asarray(image)))
+            last = image
+        if last is not None:
+            last.block_until_ready()
+            arr = to_srgb_u8(np.asarray(last))
+            if screenshot_path and not screenshot_every:
+                write_png(screenshot_path.format(frame=self.engine.frame_index), arr)
+            return arr
+        return None
+
+    def _tick_fps(self):
+        self._fps_frame_count += 1
+        now = time.perf_counter()
+        elapsed = now - self._fps_window_start
+        if elapsed >= 1.0:
+            self.last_fps = self._fps_frame_count / elapsed
+            if self.show_fps:
+                method = self.engine.render_method.name
+                print(f"[fluidx12-tpu] {self.last_fps:7.1f} fps    {method}")
+            self._fps_window_start = now
+            self._fps_frame_count = 0

@@ -1,0 +1,228 @@
+"""Sharded simulation step: spatial domain decomposition with ICI halo exchange.
+
+The grid is split along Z across a 1D `Mesh` (parallel/mesh.py); every
+stencil/sampling pass runs under `shard_map` with explicit neighbor halo
+exchange over `lax.ppermute` (SURVEY.md section 5.7: "ring-style neighbor
+exchange over ICI for the 1-cell stencil halo"):
+
+- advection exchanges an `ADVECT_HALO`-slab halo once and clamps the
+  backtrace to it (semi-Lagrangian displacement is CFL-bounded in practice;
+  `|u_z| * dt * Z <= ADVECT_HALO` voxels holds by a wide margin for the
+  reference forcing, where |u| stays O(1) in sim units and dt = 2/N),
+- the Jacobi pressure solve exchanges a 1-plane halo per sweep (64 small
+  (Y, X) slab exchanges per step, latency-bound but tiny),
+- divergence/gradient/boundary passes are local after a 1-plane exchange.
+
+This is the simulation analog of sequence parallelism: the state never
+materializes on one chip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fluidx12_tpu.core.config import FluidConfig
+from fluidx12_tpu.core.state import FluidState
+from fluidx12_tpu.ops.sampling import AddressMode, trilinear_sample, neighbor_shift
+from fluidx12_tpu.parallel.mesh import Z_AXIS
+
+ADVECT_HALO = 4  # z-slabs exchanged for the semi-Lagrangian backtrace
+
+
+def shard_state(state: FluidState, mesh: Mesh) -> FluidState:
+    """Place the state with Z sharded across the mesh."""
+    s4 = NamedSharding(mesh, P(None, Z_AXIS, None, None))
+    s3 = NamedSharding(mesh, P(Z_AXIS, None, None))
+    return FluidState(
+        velocity=jax.device_put(state.velocity, s4),
+        color=jax.device_put(state.color, s4),
+        pressure=jax.device_put(state.pressure, s3),
+    )
+
+
+def _exchange_z_halo(x: jax.Array, halo: int, axis: int) -> jax.Array:
+    """Append `halo` planes from both z-neighbors (edge-clamped at the ends).
+
+    x: local block with z on `axis`. Returns x extended by 2*halo planes.
+    """
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+
+    def take(a, sl):
+        ix = [slice(None)] * a.ndim
+        ix[axis] = sl
+        return a[tuple(ix)]
+
+    lo_slab = take(x, slice(0, halo))            # my lowest planes -> right... (sent down)
+    hi_slab = take(x, slice(x.shape[axis] - halo, x.shape[axis]))
+
+    if n > 1:
+        # neighbor i+1 receives my high slab as its lower halo, etc.
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        bwd = [(i + 1, i) for i in range(n - 1)]
+        lower_halo = jax.lax.ppermute(hi_slab, Z_AXIS, fwd)   # from idx-1
+        upper_halo = jax.lax.ppermute(lo_slab, Z_AXIS, bwd)   # from idx+1
+    else:
+        lower_halo = hi_slab
+        upper_halo = lo_slab
+
+    # Global edges: replicate own edge plane (the clamp addressing of the
+    # single-chip stencils, CSProject3D.hlsl:77-88).
+    edge_lo = jnp.repeat(take(x, slice(0, 1)), halo, axis=axis)
+    edge_hi = jnp.repeat(take(x, slice(x.shape[axis] - 1, x.shape[axis])), halo, axis=axis)
+    lower_halo = jnp.where(idx == 0, edge_lo, lower_halo)
+    upper_halo = jnp.where(idx == n - 1, edge_hi, upper_halo)
+    return jnp.concatenate([lower_halo, x, upper_halo], axis=axis)
+
+
+def _sharded_advect(velocity, color, time_step, config: FluidConfig):
+    """Local advection over a halo-extended block (see sim/advect.py for the
+    physics; cites CSAdvect.hlsl)."""
+    dtype = velocity.dtype
+    dt = jnp.asarray(time_step, dtype)
+    zg, yg, xg = config.zyx  # global extents
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    zl = velocity.shape[1]  # local z extent
+    h = ADVECT_HALO
+
+    both = jnp.concatenate([velocity, color], axis=0)  # (7, zl, y, x)
+    ext = _exchange_z_halo(both, h, axis=1)            # (7, zl + 2h, y, x)
+
+    # Voxel centers in *global* simulation space.
+    z0 = idx * zl
+    gx = (jnp.arange(xg, dtype=dtype) + 0.5) / xg
+    gy = (jnp.arange(yg, dtype=dtype) + 0.5) / yg
+    gz = (z0 + jnp.arange(zl, dtype=dtype) + 0.5) / zg
+    cz, cy, cx = jnp.meshgrid(gz, gy, gx, indexing="ij")
+    pos = jnp.stack([cx, cy, cz], axis=-1)
+
+    u = jnp.moveaxis(velocity, 0, -1)
+    adv = pos - u * dt
+
+    # Convert the global z texture coordinate into the halo-extended local
+    # frame and clamp to the exchanged range.
+    local_z_tex = adv[..., 2] * zg - z0 + h  # texel-space z in ext block
+    local_z_tex = jnp.clip(local_z_tex, 0.5, zl + 2 * h - 0.5)
+    adv_local = jnp.stack(
+        [adv[..., 0], adv[..., 1], local_z_tex / (zl + 2 * h)], axis=-1
+    )
+    sampled = trilinear_sample(ext, adv_local, mode=AddressMode.MIRROR)
+    u_new = jnp.moveaxis(sampled[:3], 0, -1)
+    c_new = sampled[3:]
+
+    # Impulse + forces (Impulse.hlsli / CSAdvect.hlsl:57-68).
+    disp = pos - jnp.asarray(config.impulse_pos, dtype)
+    radius = config.impulse_radius if config.is_3d else config.impulse_radius * 0.5
+    d2 = jnp.sum(disp * disp, axis=-1)
+    basis = jnp.exp(-4.0 * d2 / (radius * radius))
+    in_impulse = basis >= jnp.exp(jnp.asarray(-4.0, dtype))
+    ext_force = jnp.asarray(config.ext_force, dtype) * basis[..., None]
+    if config.is_3d:
+        vort = jnp.stack([-disp[..., 2], jnp.zeros_like(d2), disp[..., 0]], axis=-1) * config.vort_scale
+        ext_force = ext_force * config.force_scale_3d + vort
+    u_new = u_new + jnp.where(in_impulse[..., None], ext_force * dt, 0.0)
+
+    impulse_rgba = jnp.asarray((*config.impulse_color, 1.0), dtype) * config.impulse_density
+    dye = impulse_rgba[:, None, None, None] * (basis * dt)[None]
+    c_new = jnp.clip(c_new + jnp.where(in_impulse[None], dye, 0.0), 0.0, 1.0)
+
+    atten = jnp.maximum(1.0 - config.dissipation * dt, 0.0)
+    return jnp.moveaxis(u_new, -1, 0) * atten, c_new * atten
+
+
+def _halo_shift_z(q_ext, offset):
+    """Neighbor fetch along halo-extended z: q_ext has 1 extra plane each side."""
+    zl = q_ext.shape[0] - 2
+    return jax.lax.dynamic_slice_in_dim(q_ext, 1 + offset, zl, axis=0)
+
+
+def _sharded_project(velocity, pressure, time_step, config: FluidConfig):
+    """Projection with per-sweep 1-plane halo exchange (see sim/project.py)."""
+    is_3d = config.is_3d
+    rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
+    njac = 6.0 if is_3d else 4.0
+
+    def run(args):
+        vel, q = args
+        # Divergence with 1-plane halo.
+        vel_ext = _exchange_z_halo(vel, 1, axis=1)
+        ux, uy = vel[0], vel[1]
+        div = 0.5 * (
+            (neighbor_shift(ux, 2, +1) - neighbor_shift(ux, 2, -1))
+            + (neighbor_shift(uy, 1, +1) - neighbor_shift(uy, 1, -1))
+        )
+        if is_3d:
+            uz_ext = vel_ext[2]
+            div = div + 0.5 * (_halo_shift_z(uz_ext, +1) - _halo_shift_z(uz_ext, -1))
+        div = div.astype(jnp.float32)
+
+        def sweep(_, qq):
+            q_ext = _exchange_z_halo(qq, 1, axis=0)
+            s = (
+                neighbor_shift(qq, 2, +1) + neighbor_shift(qq, 2, -1)
+                + neighbor_shift(qq, 1, +1) + neighbor_shift(qq, 1, -1)
+            )
+            if is_3d:
+                s = s + _halo_shift_z(q_ext, +1) + _halo_shift_z(q_ext, -1)
+            return (s - div) / njac
+
+        q = jax.lax.fori_loop(0, config.num_pressure_iters, sweep, q)
+
+        # Gradient subtraction.
+        gx = 0.5 * (neighbor_shift(q, 2, +1) - neighbor_shift(q, 2, -1)) / rho
+        gy = 0.5 * (neighbor_shift(q, 1, +1) - neighbor_shift(q, 1, -1)) / rho
+        vel = vel.at[0].add(-gx.astype(vel.dtype))
+        vel = vel.at[1].add(-gy.astype(vel.dtype))
+        if is_3d:
+            q_ext = _exchange_z_halo(q, 1, axis=0)
+            gz = 0.5 * (_halo_shift_z(q_ext, +1) - _halo_shift_z(q_ext, -1)) / rho
+            vel = vel.at[2].add(-gz.astype(vel.dtype))
+
+        # Boundary damping with global z coordinates (CSProject3D.hlsl:104-108).
+        zg, yg, xg = config.zyx
+        idx = jax.lax.axis_index(Z_AXIS)
+        zl = vel.shape[1]
+        dtype = vel.dtype
+        px = (((jnp.arange(xg, dtype=dtype) + 0.5) / xg) * 2.0 - 1.0).reshape(1, 1, xg)
+        py = (((jnp.arange(yg, dtype=dtype) + 0.5) / yg) * 2.0 - 1.0).reshape(1, yg, 1)
+        pz = (((idx * zl + jnp.arange(zl, dtype=dtype) + 0.5) / zg) * 2.0 - 1.0).reshape(zl, 1, 1)
+
+        def damp(u, p):
+            scale = jnp.clip((0.97 - jnp.abs(p)) / 0.03, -1.0, 1.0)
+            return jnp.where(u * p > 0.0, u * scale, u)
+
+        vel = vel.at[0].set(damp(vel[0], px))
+        vel = vel.at[1].set(damp(vel[1], py))
+        if is_3d:
+            vel = vel.at[2].set(damp(vel[2], pz))
+        return vel, q
+
+    return jax.lax.cond(time_step > 0.0, run, lambda a: a, (velocity, pressure))
+
+
+def sharded_simulate(state: FluidState, time_step, config: FluidConfig, mesh: Mesh) -> FluidState:
+    """One sim step under shard_map over the Z axis of the grid."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, Z_AXIS, None, None), P(None, Z_AXIS, None, None),
+                  P(Z_AXIS, None, None), P()),
+        out_specs=(P(None, Z_AXIS, None, None), P(None, Z_AXIS, None, None),
+                   P(Z_AXIS, None, None)),
+    )
+    def step(velocity, color, pressure, dt):
+        dt = dt.reshape(())
+        vel, col = _sharded_advect(velocity, color, dt, config)
+        vel, q = _sharded_project(vel, pressure, dt, config)
+        return vel, col, q
+
+    dt_arr = jnp.asarray(time_step, jnp.float32).reshape(1)
+    vel, col, q = step(state.velocity, state.color, state.pressure, dt_arr)
+    return FluidState(velocity=vel, color=col, pressure=q)

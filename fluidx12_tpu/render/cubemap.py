@@ -1,0 +1,79 @@
+"""Cube-map-space view ray marching -- the paper's core pass (ref: CSRayMarch.hlsl).
+
+For every texel of every *visible* cube-map face (at the LOD-selected
+resolution), march from the eye ray's box entry toward that texel's position
+on the box surface, accumulating premultiplied in-scattered radiance
+front-to-back.  Lighting is either fetched from the precomputed light map
+(`_LIGHT_PASS_` variant, CSRayMarchV.hlsl) or computed per sample (merged).
+
+The reference dispatches 8x8 groups per face with per-thread early-outs; here
+all 6*R*R rays march as one batch.  Invisible faces (host-computed visibility
+mask, _CPU_CUBE_FACE_CULL_ == 1) are masked off and written as zeros --
+deterministic, unlike the reference which leaves stale texels that are never
+sampled by the resolve.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fluidx12_tpu.core.config import FluidConfig
+from fluidx12_tpu.core.state import SceneParams
+from fluidx12_tpu.ops.cubemap import face_texel_local_positions
+from fluidx12_tpu.ops.transform import transform_point_h
+from fluidx12_tpu.render.raymarch_core import (
+    compute_ray_origin,
+    compute_target_hit,
+    make_light_env,
+    view_march,
+)
+from fluidx12_tpu.utils.image import quantize_unorm8
+
+
+def ray_march_cube(
+    grid: jax.Array,
+    params: SceneParams,
+    config: FluidConfig,
+    lod: int = 0,
+    light_map: Optional[jax.Array] = None,
+    sh_coeffs: Optional[jax.Array] = None,
+) -> jax.Array:
+    """March the volume into a (6, R, R, 4) cube map, R = cube_map_size >> lod."""
+    size = max(config.cube_map_size >> lod, 1)
+    dtype = config.render_dtype
+    env = make_light_env(params, sh_coeffs, config)
+
+    # Local-space eye (CSRayMarch.hlsl:104: mul(eyePt, worldI)).
+    local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
+
+    targets = face_texel_local_positions(size, dtype)  # (6, R, R, 3)
+    ray_dir = targets - local_eye
+    ray_dir = ray_dir / jnp.linalg.norm(ray_dir, axis=-1, keepdims=True)
+
+    origin = jnp.broadcast_to(local_eye, targets.shape)
+    origin, hit = compute_ray_origin(origin, ray_dir)
+    t_max = compute_target_hit(origin, targets, ray_dir)
+
+    # Face visibility (bit f of the host-computed mask, CSRayMarch.hlsl:100-102).
+    face_ids = jnp.arange(6, dtype=jnp.int32)
+    visible = (params.visibility_mask >> face_ids) & 1
+    active = hit & (visible[:, None, None] > 0)
+
+    scatter = view_march(
+        grid,
+        origin,
+        ray_dir,
+        t_max,
+        params.num_samples,
+        env,
+        config,
+        light_map=light_map,
+        num_light_samples=params.num_light_samples,
+        active=active,
+    )
+    if config.quantize_cube_map:
+        scatter = quantize_unorm8(scatter)
+    return scatter

@@ -1,0 +1,304 @@
+"""Shared volume ray-marching machinery.
+
+TPU-native re-expression of RayMarch.hlsli: the reference's divergent
+per-thread march loops with `break` early-outs become fixed-trip
+`lax.fori_loop`s over *batches of rays* with per-ray liveness masks --
+the correct shape for a lock-step vector machine (SURVEY.md section 7,
+"divergent march loops").  Loop trip counts are the static `max_*_samples`
+from the config; the dynamic LOD-clamped counts arrive as scalars and only
+affect masks and step sizes, so no retracing happens when the camera moves.
+
+Faithfully reproduced details (with reference cites):
+
+- adaptive step controller `GetStep` (RayMarch.hlsli:200-210); note the
+  reference's `step = (step + newStep) * 0.5` is a dead store (overwritten by
+  `step = newStep` before use, RayMarch.hlsli:237-241 and CSRayMarch.hlsl:
+  175-190), so the effective step is simply `newStep`,
+- shadow rays `CastLightRay` with transmittance early-out (RayMarch.hlsli:215-247),
+- density-gradient normals + SH irradiance ambient + AO ray (GetLight,
+  RayMarch.hlsli:252-295),
+- ray-box entry `ComputeRayOrigin` (RayMarch.hlsli:146-173) and target-hit
+  `ComputeTargetHit` (:178-183),
+- front-to-back premultiplied accumulation `scatter += color * ABSORPTION *
+  transm` with the final 1/(2 pi) scatter normalization (CSRayMarch.hlsl:141-193).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fluidx12_tpu.core.config import FluidConfig
+from fluidx12_tpu.core.state import SceneParams
+from fluidx12_tpu.gi.sh import evaluate_sh_irradiance
+from fluidx12_tpu.ops.sampling import AddressMode, trilinear_sample
+from fluidx12_tpu.ops.transform import transform_vector
+
+# Local-space box diagonal (RayMarch.hlsli:29).  A plain float, NOT a jnp
+# value: module-level jnp ops would initialize the JAX backend at import time,
+# before the CLI can select a platform.
+MAX_DIST = 2.0 * math.sqrt(3.0)
+
+
+class LightEnv(NamedTuple):
+    """Per-frame lighting quantities in volume-local space."""
+
+    light_dir: jax.Array     # (3,) normalized local-space directional light
+    light_color: jax.Array   # (3,) rgb * intensity
+    ambient: jax.Array       # (3,) rgb * intensity
+    world3x3: jax.Array      # (3, 3) volume->world rotation/scale (for SH eval)
+    sh_coeffs: jax.Array     # (9, 3) SH irradiance coefficients (zeros if none)
+    has_probe: bool          # static: light probe attached
+
+
+def make_light_env(params: SceneParams, sh_coeffs: Optional[jax.Array], config: FluidConfig) -> LightEnv:
+    """Build local-space lighting (ref: CSRayMarch.hlsl:136-139: directional
+    light via `mul(g_lightPt, (float3x3)g_worldI)`)."""
+    local_light = transform_vector(params.light_pt, params.world_i)
+    light_dir = local_light / jnp.linalg.norm(local_light)
+    has_probe = sh_coeffs is not None and config.has_light_probe
+    return LightEnv(
+        light_dir=light_dir,
+        light_color=params.light_color[:3] * params.light_color[3],
+        ambient=params.ambient[:3] * params.ambient[3],
+        world3x3=params.world[:3, :3],
+        sh_coeffs=sh_coeffs if sh_coeffs is not None else jnp.zeros((9, 3), jnp.float32),
+        has_probe=has_probe,
+    )
+
+
+def local_to_tex(pos: jax.Array) -> jax.Array:
+    """Local space [-1,1]^3 -> texture space [0,1]^3 (RayMarch.hlsli:188-195)."""
+    return pos * 0.5 + 0.5
+
+
+def get_step(d_density, transm, density, step_scale):
+    """Adaptive step controller (RayMarch.hlsli:200-210)."""
+    factor_ev = jnp.minimum(1.0 / 256.0 / jnp.abs(d_density), 2.0)
+    factor_ui = jnp.minimum(1.0 - density, 1.0)
+    factor_th = 1.0 - transm
+    return step_scale * jnp.maximum(1.5 * factor_ev * factor_ui * factor_th, 1.0)
+
+
+def density_gradient(grid: jax.Array, uvw: jax.Array) -> jax.Array:
+    """6-tap density gradient (RayMarch.hlsli:73-95).
+
+    grid: (C, Z, Y, X) whose last channel is density; uvw (..., 3).
+    Offsets are in texels, matching SampleLevel's integer-offset form.
+    Returns (..., 3) unnormalized gradient (+x, +y, +z differences).
+    """
+    z, y, x = grid.shape[-3:]
+    texel = jnp.asarray([1.0 / x, 1.0 / y, 1.0 / z], uvw.dtype)
+    density = grid[-1:]
+
+    def tap(offset):
+        return trilinear_sample(density, uvw + texel * jnp.asarray(offset, uvw.dtype))[0]
+
+    gx = tap([1, 0, 0]) - tap([-1, 0, 0])
+    gy = tap([0, 1, 0]) - tap([0, -1, 0])
+    gz = tap([0, 0, 1]) - tap([0, 0, -1])
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def compute_ray_origin(origin: jax.Array, ray_dir: jax.Array):
+    """Clip ray origins to the box entry face (RayMarch.hlsli:146-173).
+
+    origin, ray_dir: (..., 3).  Returns (entry_pos, is_hit): origins already
+    inside the box pass through unchanged.
+    """
+    inside = jnp.all(jnp.abs(origin) <= 1.0, axis=-1)
+
+    big = jnp.asarray(3.4e38, origin.dtype)
+    u_best = jnp.full(origin.shape[:-1], big, origin.dtype)
+    hit = jnp.zeros(origin.shape[:-1], bool)
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        u = (-jnp.sign(ray_dir[..., i]) - origin[..., i]) / ray_dir[..., i]
+        ok = (u >= 0.0)
+        ok &= jnp.abs(ray_dir[..., j] * u + origin[..., j]) <= 1.0
+        ok &= jnp.abs(ray_dir[..., k] * u + origin[..., k]) <= 1.0
+        better = ok & (u < u_best)
+        u_best = jnp.where(better, u, u_best)
+        hit |= better
+
+    u_best = jnp.where(inside, 0.0, u_best)
+    entry = jnp.clip(ray_dir * u_best[..., None] + origin, -1.0, 1.0)
+    entry = jnp.where(inside[..., None], origin, entry)
+    return entry, hit | inside
+
+
+def compute_target_hit(origin: jax.Array, target: jax.Array, ray_dir: jax.Array) -> jax.Array:
+    """t at which the ray reaches the target's face plane (RayMarch.hlsli:178-183)."""
+    u = (target - origin) / ray_dir
+    return jnp.max(u, axis=-1)
+
+
+def cast_light_ray(
+    density: jax.Array,
+    transm0: jax.Array,
+    origin: jax.Array,
+    ray_dir: jax.Array,
+    step_scale: jax.Array,
+    max_samples: int,
+    num_samples: jax.Array,
+    config: FluidConfig,
+) -> jax.Array:
+    """Transmittance along a secondary ray (CastLightRay, RayMarch.hlsli:215-247).
+
+    density: (1, Z, Y, X) density channel; origin (..., 3) local space;
+    ray_dir (..., 3) or (3,); step_scale scalar; num_samples dynamic scalar.
+    Returns attenuated transmittance (...,).
+    """
+    absorb = config.absorption
+    zero = config.zero_threshold
+    ray_dir = jnp.broadcast_to(ray_dir, origin.shape)
+
+    def body(i, carry):
+        t, transm, prev_density, alive = carry
+        alive = alive & (i < num_samples)
+        pos = origin + ray_dir * t[..., None]
+        inside = jnp.all(jnp.abs(pos) <= 1.0, axis=-1)
+        alive = alive & inside
+        d = trilinear_sample(density, local_to_tex(pos))[0]
+        d_density = d - prev_density
+        new_step = get_step(d_density, transm, d, step_scale)
+        transm_new = jnp.where(alive, transm * (1.0 - d * absorb), transm)
+        alive = alive & (transm_new >= zero)
+        t_new = jnp.where(alive, t + new_step, t)
+        prev_new = jnp.where(alive, d, prev_density)
+        return t_new, transm_new, prev_new, alive
+
+    t0 = jnp.full(origin.shape[:-1], step_scale, origin.dtype)
+    prev0 = jnp.zeros(origin.shape[:-1], origin.dtype)
+    alive0 = transm0 >= zero  # ref: shadow-map pre-test guard (RayMarch.hlsli:268)
+    _, transm, _, _ = jax.lax.fori_loop(
+        0, max_samples, body, (t0, transm0, prev0, alive0)
+    )
+    return transm
+
+
+def eval_light_merged(
+    grid: jax.Array,
+    pos: jax.Array,
+    env: LightEnv,
+    light_step: jax.Array,
+    max_light_samples: int,
+    num_light_samples: jax.Array,
+    config: FluidConfig,
+) -> jax.Array:
+    """Per-sample lighting in merged mode (GetLight, RayMarch.hlsli:261-295):
+    shadow ray toward the light + (optionally) SH irradiance with an AO ray."""
+    density = grid[-1:]
+    ones = jnp.ones(pos.shape[:-1], pos.dtype)
+    shadow = cast_light_ray(
+        density, ones, pos, env.light_dir, light_step,
+        max_light_samples, num_light_samples, config,
+    )
+
+    light = env.light_color * shadow[..., None]
+    if env.has_probe:
+        uvw = local_to_tex(pos)
+        grad = -density_gradient(grid, uvw)
+        # Avoid 0-gradient in uniform regions (RayMarch.hlsli:279).
+        degenerate = jnp.all(grad == 0.0, axis=-1, keepdims=True)
+        grad = jnp.where(degenerate, pos, grad)
+        world_dir = transform_vector(grad, env.world3x3)
+        world_dir = world_dir / jnp.maximum(jnp.linalg.norm(world_dir, axis=-1, keepdims=True), 1e-12)
+        irradiance = evaluate_sh_irradiance(env.sh_coeffs, world_dir)
+        grad_n = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)
+        ao = cast_light_ray(
+            density, ones, pos, grad_n, light_step,
+            max_light_samples, num_light_samples, config,
+        )
+        ambient = irradiance * ao[..., None]
+    else:
+        ambient = env.ambient
+    return light + ambient
+
+
+def view_march(
+    grid: jax.Array,
+    origin: jax.Array,
+    ray_dir: jax.Array,
+    t_max: jax.Array,
+    num_samples: jax.Array,
+    env: LightEnv,
+    config: FluidConfig,
+    light_map: Optional[jax.Array] = None,
+    num_light_samples: Optional[jax.Array] = None,
+    active: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Primary view-ray march (CSRayMarch.hlsl:141-193 / PSRayCast.hlsl:69-124).
+
+    grid: (4, Z, Y, X) premultiplied RGBA volume.
+    origin/ray_dir: (..., 3) local-space entry points and directions.
+    t_max: (...,) exit distance (inf for screen-space marching without depth).
+    light_map: (3, Z, Y, X) => separate-light mode (`_LIGHT_PASS_`); otherwise
+        merged mode computes shadow/GI per sample.
+    active: (...,) optional ray mask (invisible faces, missed boxes).
+    Returns (..., 4) premultiplied in-scattered radiance (already / 2 pi).
+    """
+    absorb = config.absorption
+    zero = config.zero_threshold
+    dtype = origin.dtype
+    step_scale = MAX_DIST / num_samples.astype(dtype)
+    light_step = (
+        MAX_DIST / num_light_samples.astype(dtype) if num_light_samples is not None else None
+    )
+
+    if active is None:
+        active = jnp.ones(origin.shape[:-1], bool)
+
+    def body(i, carry):
+        t, scatter, prev_density, alive = carry
+        alive = alive & (i < num_samples)
+        pos = origin + ray_dir * t[..., None]
+        inside = jnp.all(jnp.abs(pos) <= 1.0, axis=-1)
+        alive = alive & inside
+
+        uvw = local_to_tex(pos)
+        color = jnp.moveaxis(trilinear_sample(grid, uvw), 0, -1)  # (..., 4)
+        dense = color[..., 3] > zero
+        hit = alive & dense
+
+        if light_map is not None:
+            light = jnp.moveaxis(trilinear_sample(light_map, uvw), 0, -1)
+        else:
+            light = eval_light_merged(
+                grid, pos, env, light_step,
+                config.max_light_samples, num_light_samples, config,
+            )
+
+        transm = 1.0 - scatter[..., 3]
+        d_density = color[..., 3] - prev_density
+        adaptive = get_step(d_density, transm, color[..., 3], step_scale)
+        new_step = jnp.where(hit, adaptive, step_scale)
+
+        rgb = color[..., :3]
+        if not config.pre_multiplied:
+            rgb = rgb * color[..., 3:4]
+        contrib = jnp.concatenate([rgb * light, color[..., 3:4]], axis=-1)
+        contrib = contrib * (absorb * transm)[..., None]
+        scatter = jnp.where(hit[..., None], scatter + contrib, scatter)
+
+        # Opacity early-out happens only on dense samples (CSRayMarch.hlsl:186).
+        transm_after = 1.0 - scatter[..., 3]
+        alive = alive & ~(hit & (transm_after < zero))
+
+        t_new = t + new_step
+        alive = alive & (t_new <= t_max)
+        t = jnp.where(alive, t_new, t)
+        prev_density = jnp.where(hit, color[..., 3], prev_density)
+        return t, scatter, prev_density, alive
+
+    t0 = jnp.zeros(origin.shape[:-1], dtype)
+    scatter0 = jnp.zeros(origin.shape[:-1] + (4,), dtype)
+    prev0 = jnp.zeros(origin.shape[:-1], dtype)
+    _, scatter, _, _ = jax.lax.fori_loop(
+        0, config.max_ray_samples, body, (t0, scatter0, prev0, active)
+    )
+    scatter = scatter.at[..., :3].multiply(1.0 / (2.0 * jnp.pi))
+    return jnp.where(active[..., None], scatter, 0.0)

@@ -1,0 +1,129 @@
+"""Pressure projection: divergence -> Jacobi relaxation -> gradient subtraction.
+
+TPU-native re-expression of CSProject2D/3D.hlsl + CSPoisson.hlsli.  The
+reference runs 64 *chaotic* (racy, tolerance-early-out) Jacobi sweeps inside a
+single dispatch over a `globallycoherent` UAV; here that becomes a
+deterministic `lax.fori_loop` of synchronous sweeps over a dense stencil
+(SURVEY.md section 2.5 maps the race away by design).  The pressure field is
+persistent across frames, giving the same warm-start behavior as the
+reference's `m_incompress` texture (Fluid.cpp:218-221).
+
+All neighbor fetches are edge-clamped shifts (`max(i,1)-1` / `min(i+1,N-1)`,
+CSProject3D.hlsl:77-88), which XLA lowers to fused pad/slice ops -- no gather.
+
+The Jacobi update is x = (sum(neighbors) - b) / N with N = 6 (3D) or 4 (2D);
+the velocity correction is u -= 0.5 * grad(q) / rho with rho = 0.48 (3D,
+CSProject3D.hlsl:26) or 1.0 (2D, CSProject2D.hlsl:24).  Outward velocities in
+a 3%-thick boundary band are damped/reflected (CSProject3D.hlsl:104-108).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fluidx12_tpu.core.config import FluidConfig
+from fluidx12_tpu.ops.sampling import neighbor_shift
+
+# Spatial axes of a (Z, Y, X) volume.
+_AX_Z, _AX_Y, _AX_X = 0, 1, 2
+
+
+def divergence(velocity: jax.Array, is_3d: bool) -> jax.Array:
+    """Central-difference divergence with edge-clamped neighbors (..hlsl:40-53)."""
+    ux, uy, uz = velocity[0], velocity[1], velocity[2]
+    div = 0.5 * (
+        (neighbor_shift(ux, _AX_X, +1) - neighbor_shift(ux, _AX_X, -1))
+        + (neighbor_shift(uy, _AX_Y, +1) - neighbor_shift(uy, _AX_Y, -1))
+    )
+    if is_3d:
+        div = div + 0.5 * (neighbor_shift(uz, _AX_Z, +1) - neighbor_shift(uz, _AX_Z, -1))
+    return div
+
+
+def jacobi_sweeps(pressure: jax.Array, div: jax.Array, iters: int, is_3d: bool) -> jax.Array:
+    """`iters` synchronous Jacobi sweeps of laplace(q) = b (CSPoisson.hlsli:8-26)."""
+    n = 6.0 if is_3d else 4.0
+
+    def neighbor_sum(q):
+        s = (
+            neighbor_shift(q, _AX_X, +1)
+            + neighbor_shift(q, _AX_X, -1)
+            + neighbor_shift(q, _AX_Y, +1)
+            + neighbor_shift(q, _AX_Y, -1)
+        )
+        if is_3d:
+            s = s + neighbor_shift(q, _AX_Z, +1) + neighbor_shift(q, _AX_Z, -1)
+        return s
+
+    def body(_, q):
+        return (neighbor_sum(q) - div) / n
+
+    return jax.lax.fori_loop(0, iters, body, pressure)
+
+
+def subtract_gradient(velocity: jax.Array, pressure: jax.Array, rho: float, is_3d: bool) -> jax.Array:
+    """u -= 0.5 * grad(q) / rho with edge-clamped central differences."""
+    gx = 0.5 * (neighbor_shift(pressure, _AX_X, +1) - neighbor_shift(pressure, _AX_X, -1)) / rho
+    gy = 0.5 * (neighbor_shift(pressure, _AX_Y, +1) - neighbor_shift(pressure, _AX_Y, -1)) / rho
+    velocity = velocity.at[0].add(-gx.astype(velocity.dtype))
+    velocity = velocity.at[1].add(-gy.astype(velocity.dtype))
+    if is_3d:
+        gz = 0.5 * (neighbor_shift(pressure, _AX_Z, +1) - neighbor_shift(pressure, _AX_Z, -1)) / rho
+        velocity = velocity.at[2].add(-gz.astype(velocity.dtype))
+    return velocity
+
+
+def boundary_damp(velocity: jax.Array, config: FluidConfig) -> jax.Array:
+    """Damp/reflect outward velocities near the walls (CSProject3D.hlsl:104-108).
+
+    pos = voxel center mapped to [-1, 1]; for each component with u*pos > 0,
+    u *= clamp((0.97 - |pos|)/0.03, -1, 1) -- a 3% soft band that reverses the
+    outermost cells.  Applied per spatial axis (z is skipped in 2D).
+    """
+    z, y, x = config.zyx
+    dtype = velocity.dtype
+
+    def axis_scale(n, ax_len):
+        p = ((jnp.arange(n, dtype=dtype) + 0.5) / n) * 2.0 - 1.0
+        return p
+
+    px = axis_scale(x, x).reshape(1, 1, x)
+    py = axis_scale(y, y).reshape(1, y, 1)
+    pz = axis_scale(z, z).reshape(z, 1, 1)
+
+    def damp(u, p):
+        scale = jnp.clip((0.97 - jnp.abs(p)) / 0.03, -1.0, 1.0)
+        return jnp.where(u * p > 0.0, u * scale, u)
+
+    velocity = velocity.at[0].set(damp(velocity[0], px))
+    velocity = velocity.at[1].set(damp(velocity[1], py))
+    if config.is_3d:
+        velocity = velocity.at[2].set(damp(velocity[2], pz))
+    return velocity
+
+
+def project(
+    velocity: jax.Array,
+    pressure: jax.Array,
+    time_step: jax.Array,
+    config: FluidConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full projection pass; identity when time_step == 0 (ref ..hlsl:97 guard)."""
+    is_3d = config.is_3d
+    rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
+
+    def run(args):
+        vel, q = args
+        b = divergence(vel, is_3d).astype(jnp.float32)
+        q = jacobi_sweeps(q, b, config.num_pressure_iters, is_3d)
+        vel = subtract_gradient(vel, q, rho, is_3d)
+        vel = boundary_damp(vel, config)
+        return vel, q
+
+    def skip(args):
+        return args
+
+    return jax.lax.cond(time_step > 0.0, run, skip, (velocity, pressure))

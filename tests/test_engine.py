@@ -1,0 +1,77 @@
+"""End-to-end engine tests on tiny configs (the Fluid2D / Fluid3D slices)."""
+
+import numpy as np
+
+from fluidx12_tpu.core.config import FluidConfig, RenderMethod
+from fluidx12_tpu.engine.fluidx import FluidXEngine
+from fluidx12_tpu.engine.frame_loop import FrameLoop
+
+
+def test_2d_slice_end_to_end(tmp_path):
+    cfg = FluidConfig(grid_size=(64, 64, 1), viewport=(64, 64), num_pressure_iters=16)
+    engine = FluidXEngine(cfg)
+    loop = FrameLoop(engine, show_fps=False)
+    img = loop.run(30, screenshot_path=str(tmp_path / "f2d.png"))
+    assert img.shape == (64, 64, 3)
+    # Smoke was injected and is visible: image differs from the clear color.
+    clear = np.array([51, 51, 51])
+    assert (np.abs(img.astype(int) - clear).max(axis=-1) > 10).sum() > 20
+    assert (tmp_path / "f2d.png").exists()
+
+
+def test_3d_direct_path_end_to_end():
+    cfg = FluidConfig(
+        grid_size=(16, 16, 16), viewport=(32, 32),
+        max_ray_samples=24, max_light_samples=8, num_pressure_iters=8,
+    )
+    engine = FluidXEngine(cfg)
+    engine.render_method = RenderMethod.RAY_MARCH_DIRECT_MERGED
+    loop = FrameLoop(engine, show_fps=False)
+    img = loop.run(25)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    clear = np.array([51, 51, 51])
+    assert (np.abs(img.astype(int) - clear).max(axis=-1) > 5).sum() > 5
+
+
+def test_3d_all_methods_produce_similar_images():
+    cfg = FluidConfig(
+        grid_size=(16, 16, 16), viewport=(32, 32),
+        max_ray_samples=24, max_light_samples=8, num_pressure_iters=8,
+        quantize_cube_map=False,
+    )
+    images = {}
+    for method in RenderMethod:
+        engine = FluidXEngine(cfg)
+        engine.render_method = method
+        loop = FrameLoop(engine, show_fps=False)
+        images[method] = loop.run(20).astype(np.float32) / 255.0
+
+    # The reference's de-facto correctness harness: all 4 methods must agree
+    # up to the paper's intended quality differences (SURVEY.md section 4.2).
+    base = images[RenderMethod.RAY_MARCH_DIRECT_MERGED]
+    for method, img in images.items():
+        diff = np.abs(img - base).mean()
+        assert diff < 0.06, f"{method.name} diverges: mean abs diff {diff:.4f}"
+
+
+def test_pause_freezes_simulation():
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(16, 16),
+                      max_ray_samples=8, max_light_samples=4, num_pressure_iters=4)
+    engine = FluidXEngine(cfg)
+    loop = FrameLoop(engine, show_fps=False)
+    loop.run(10)
+    color_before = np.asarray(engine.state.color).copy()
+    engine.toggle_pause()
+    loop.run(3)
+    np.testing.assert_allclose(np.asarray(engine.state.color), color_before, atol=1e-6)
+
+
+def test_method_toggle_cycles():
+    m = RenderMethod.RAY_MARCH_SEPARATE
+    seen = {m}
+    for _ in range(3):
+        m = m.next()
+        seen.add(m)
+    assert len(seen) == 4
+    assert m.next() == RenderMethod.RAY_MARCH_SEPARATE

@@ -19,24 +19,30 @@ def main():
     fn, (state, params) = entry()
     step = jax.jit(fn, donate_argnums=(0,))
 
+    def sync(x):
+        # On the axon TPU relay, block_until_ready can return before remote
+        # execution completes; a small device->host fetch is the only
+        # reliable completion barrier (see CLAUDE.md).
+        np.asarray(x.ravel()[:4])
+
     # Warmup / compile.
     t0 = time.perf_counter()
     state, image = step(state, params)
-    jax.block_until_ready(image)
+    sync(image)
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-step: {compile_s:.1f}s", file=sys.stderr)
 
     # Let the smoke develop a few frames so the march does real work.
     for _ in range(10):
         state, image = step(state, params)
-    jax.block_until_ready(image)
+    sync(image)
 
-    # Timed run with async dispatch, blocking only at the end.
+    # Timed run with async dispatch, syncing only at the end.
     n = 30
     t0 = time.perf_counter()
     for _ in range(n):
         state, image = step(state, params)
-    jax.block_until_ready(image)
+    sync(image)
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = n / elapsed

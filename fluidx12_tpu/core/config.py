@@ -84,6 +84,11 @@ class FluidConfig:
     face_cull: FaceCullMode = FaceCullMode.MASK
     # Premultiplied-alpha color storage (ref: Common.hlsli `_PRE_MULTIPLIED_`, on).
     pre_multiplied: bool = True
+    # Treat the light as a point light instead of directional (the reference's
+    # dormant `_POINT_LIGHT_` define, RayMarch.hlsli:40, CSRayMarch.hlsl:131).
+    # Only the faithful render paths honor this; the fast sweeps assume a
+    # directional light (parallel rays).
+    point_light: bool = False
     # Quantize the ray-marched cube map to 8-bit like the reference's RGBA8 target
     # (Fluid.cpp:229-232); disable for a higher-quality-than-reference float path.
     quantize_cube_map: bool = True
@@ -96,6 +101,15 @@ class FluidConfig:
     # Use Pallas kernels where available (False = pure-XLA reference path; the
     # two paths are the "Core vs EZ" dual-stack cross-check, SURVEY.md section 4).
     use_pallas: bool = True
+    # Use the TPU-native slice-reformulated render passes (lightmap sweep +
+    # slice-compositing cube march) instead of the faithful per-ray gather
+    # marchers.  ~1000x on TPU; cross-checked in tests/test_fastpath.py.
+    fast_render: bool = True
+    # Use the dense-shift dimensional-split advection instead of the
+    # gather-based trilinear backtrace (sim/advect_fast.py).
+    fast_sim: bool = True
+    # Sub-steps of the split backtrace (error ~ (CFL/n)^2 per sub-step).
+    advect_substeps: int = 1
 
     # ---- physics constants (ref: CSAdvect.hlsl:11-14, Impulse.hlsli) ----
     ext_force: Tuple[float, float, float] = (0.0, 48.0, 0.0)

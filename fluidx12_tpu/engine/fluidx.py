@@ -31,6 +31,8 @@ from fluidx12_tpu.gi.sh import project_cubemap_sh
 from fluidx12_tpu.render.cubemap import ray_march_cube
 from fluidx12_tpu.render.environment import render_environment
 from fluidx12_tpu.render.lightmap import render_light_map
+from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
+from fluidx12_tpu.render.slicecomp import ray_march_cube_fast
 from fluidx12_tpu.render.raycast import ray_cast_direct
 from fluidx12_tpu.render.resolve import resolve_cube
 from fluidx12_tpu.render.visualize2d import visualize_color_2d
@@ -120,14 +122,21 @@ class FluidXEngine:
             if not cfg.is_3d:
                 rgba = visualize_color_2d(grid, cfg)
             else:
+                fast = cfg.fast_render and method.separate_light_pass
                 light_map = None
                 if method.separate_light_pass:
-                    light_map = render_light_map(grid, params, cfg, sh_coeffs)
+                    if fast:
+                        light_map = render_light_map_fast(grid, params, cfg, sh_coeffs)
+                    else:
+                        light_map = render_light_map(grid, params, cfg, sh_coeffs)
                 if method.uses_cube_map:
-                    cube = ray_march_cube(
-                        grid, params, cfg, lod=lod,
-                        light_map=light_map, sh_coeffs=sh_coeffs,
-                    )
+                    if fast:
+                        cube = ray_march_cube_fast(grid, params, cfg, light_map, lod=lod)
+                    else:
+                        cube = ray_march_cube(
+                            grid, params, cfg, lod=lod,
+                            light_map=light_map, sh_coeffs=sh_coeffs,
+                        )
                     rgba = resolve_cube(cube, params, cfg)
                 else:
                     rgba = ray_cast_direct(

@@ -89,7 +89,9 @@ def _sharded_advect(velocity, color, time_step, config: FluidConfig):
     n = jax.lax.axis_size(Z_AXIS)
     idx = jax.lax.axis_index(Z_AXIS)
     zl = velocity.shape[1]  # local z extent
-    h = ADVECT_HALO
+    # Halo cannot exceed the local slab (single-plane neighbor exchange);
+    # the backtrace clamp below keeps semantics correct either way.
+    h = min(ADVECT_HALO, zl)
 
     both = jnp.concatenate([velocity, color], axis=0)  # (7, zl, y, x)
     ext = _exchange_z_halo(both, h, axis=1)            # (7, zl + 2h, y, x)

@@ -20,12 +20,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from fluidx12_tpu.core.config import FluidConfig
+from fluidx12_tpu.core.config import FaceCullMode, FluidConfig
 from fluidx12_tpu.core.state import SceneParams
 from fluidx12_tpu.ops.cubemap import face_texel_local_positions
 from fluidx12_tpu.ops.transform import transform_point_h
 from fluidx12_tpu.render.raymarch_core import (
     compute_ray_origin,
+    face_visibility_in_graph,
     compute_target_hit,
     make_light_env,
     view_march,
@@ -57,10 +58,14 @@ def ray_march_cube(
     origin, hit = compute_ray_origin(origin, ray_dir)
     t_max = compute_target_hit(origin, targets, ray_dir)
 
-    # Face visibility (bit f of the host-computed mask, CSRayMarch.hlsl:100-102).
-    face_ids = jnp.arange(6, dtype=jnp.int32)
-    visible = (params.visibility_mask >> face_ids) & 1
-    active = hit & (visible[:, None, None] > 0)
+    # Face visibility: host-computed mask bit (cull modes 1/2) or the
+    # in-graph eye-side test (mode 0); CSRayMarch.hlsl:100-112.
+    if config.face_cull == FaceCullMode.NONE:
+        visible = face_visibility_in_graph(local_eye)
+    else:
+        face_ids = jnp.arange(6, dtype=jnp.int32)
+        visible = ((params.visibility_mask >> face_ids) & 1) > 0
+    active = hit & visible[:, None, None]
 
     scatter = view_march(
         grid,

@@ -62,8 +62,10 @@ def render_light_map(
 
     # Shadow ray toward the light; result ignored where the voxel is empty
     # (the reference skips the march there, CSRayMarchL.hlsl:43).
+    from fluidx12_tpu.render.raymarch_core import light_direction_at
+
     shadow = cast_light_ray(
-        density, jnp.ones_like(d_here), pos, env.light_dir, step,
+        density, jnp.ones_like(d_here), pos, light_direction_at(env, pos), step,
         config.max_light_samples, num, config,
     )
     shadow = jnp.where(dense, shadow, 1.0)

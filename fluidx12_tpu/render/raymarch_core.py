@@ -47,27 +47,55 @@ class LightEnv(NamedTuple):
     """Per-frame lighting quantities in volume-local space."""
 
     light_dir: jax.Array     # (3,) normalized local-space directional light
+    light_pos: jax.Array     # (3,) local-space light point (point-light mode)
     light_color: jax.Array   # (3,) rgb * intensity
     ambient: jax.Array       # (3,) rgb * intensity
     world3x3: jax.Array      # (3, 3) volume->world rotation/scale (for SH eval)
     sh_coeffs: jax.Array     # (9, 3) SH irradiance coefficients (zeros if none)
     has_probe: bool          # static: light probe attached
+    point_light: bool        # static: per-position light direction
 
 
 def make_light_env(params: SceneParams, sh_coeffs: Optional[jax.Array], config: FluidConfig) -> LightEnv:
-    """Build local-space lighting (ref: CSRayMarch.hlsl:136-139: directional
-    light via `mul(g_lightPt, (float3x3)g_worldI)`)."""
+    """Build local-space lighting (ref: CSRayMarch.hlsl:131-139: directional
+    via `mul(g_lightPt, (float3x3)g_worldI)`, or point via the full inverse
+    transform under `_POINT_LIGHT_`)."""
     local_light = transform_vector(params.light_pt, params.world_i)
     light_dir = local_light / jnp.linalg.norm(local_light)
+    from fluidx12_tpu.ops.transform import transform_point_h
+
+    light_pos = transform_point_h(params.light_pt, params.world_i)[..., :3]
     has_probe = sh_coeffs is not None and config.has_light_probe
     return LightEnv(
         light_dir=light_dir,
+        light_pos=light_pos,
         light_color=params.light_color[:3] * params.light_color[3],
         ambient=params.ambient[:3] * params.ambient[3],
         world3x3=params.world[:3, :3],
         sh_coeffs=sh_coeffs if sh_coeffs is not None else jnp.zeros((9, 3), jnp.float32),
         has_probe=has_probe,
+        point_light=config.point_light,
     )
+
+
+def light_direction_at(env: LightEnv, pos: jax.Array) -> jax.Array:
+    """Per-position light direction: constant for directional, normalized
+    (light_pos - pos) for point lights (CSRayMarch.hlsl:158-161)."""
+    if not env.point_light:
+        return env.light_dir
+    d = env.light_pos - pos
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+
+def face_visibility_in_graph(local_eye: jax.Array) -> jax.Array:
+    """(6,) bool: face f visible iff the local eye is on its outward side
+    (IsVisible, CSRayMarch.hlsl:69-74; the `_CPU_CUBE_FACE_CULL_ == 0` GPU
+    test, done in-graph on TPU)."""
+    comps = jnp.stack([local_eye[0], local_eye[0],
+                       local_eye[1], local_eye[1],
+                       local_eye[2], local_eye[2]])
+    odd = jnp.asarray([False, True, False, True, False, True])
+    return jnp.where(odd, comps > -1.0, comps < 1.0)
 
 
 def local_to_tex(pos: jax.Array) -> jax.Array:
@@ -194,7 +222,7 @@ def eval_light_merged(
     density = grid[-1:]
     ones = jnp.ones(pos.shape[:-1], pos.dtype)
     shadow = cast_light_ray(
-        density, ones, pos, env.light_dir, light_step,
+        density, ones, pos, light_direction_at(env, pos), light_step,
         max_light_samples, num_light_samples, config,
     )
 

@@ -1,0 +1,141 @@
+"""TPU-native advection: dimensional-split semi-Lagrangian without gathers.
+
+The faithful advect (sim/advect.py) backtraces with an 8-corner gather, which
+XLA lowers to scattered dynamic-gathers (~120 ms at 128^3 on v5e).  The
+TPU-native form uses two facts:
+
+1. the semi-Lagrangian displacement is CFL-bounded (|u| * dt * N stays under
+   a dozen voxels for the reference forcing), and
+2. 1D linear interpolation at bounded displacement is a *dense* weighted sum
+   of shifted copies: out = sum_a hat(dx - a) * shift(field, a), a in
+   [-K, K+1] -- pure VPU multiply-adds that XLA fuses into one streaming
+   pass.
+
+A full trilinear backtrace is factored into three sequential 1D passes
+(x, then y, then z; classic dimensional splitting).  This deviates from
+direct trilinear interpolation by O(|u dt|^2 * second derivatives); the
+cross-check against the faithful path lives in tests/test_fastpath.py.
+
+Displacements beyond K voxels clamp to K (a velocity-limiter: sample count
+and stability win over unbounded backtrace; the reference's mirror-sampler
+behavior at extreme velocities is not physical anyway).  Edge addressing is
+mirror ('symmetric' pad), matching the reference's LINEAR_MIRROR sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fluidx12_tpu.core.config import FluidConfig
+from fluidx12_tpu.sim.advect import _voxel_centers
+
+# Maximum per-axis backtrace displacement in voxels.
+MAX_DISP = 12
+
+
+def _shift_axis(field: jax.Array, axis: int, offset: int) -> jax.Array:
+    """field shifted so out[i] = field[i + offset], mirror-padded at edges."""
+    if offset == 0:
+        return field
+    n = field.shape[axis]
+    pad = [(0, 0)] * field.ndim
+    idx = [slice(None)] * field.ndim
+    if offset > 0:
+        pad[axis] = (0, offset)
+        idx[axis] = slice(offset, offset + n)
+    else:
+        pad[axis] = (-offset, 0)
+        idx[axis] = slice(0, n)
+    return jnp.pad(field, pad, mode="symmetric")[tuple(idx)]
+
+
+def _advect_1d(field: jax.Array, disp: jax.Array, axis: int) -> jax.Array:
+    """Resample `field` (C, Z, Y, X) along `axis` (array axis) at i + disp.
+
+    disp: (Z, Y, X) displacement in voxels (positive = sample from larger
+    index), clamped to [-MAX_DISP, MAX_DISP].
+    """
+    d = jnp.clip(disp, -float(MAX_DISP), float(MAX_DISP))
+    out = jnp.zeros_like(field)
+    for a in range(-MAX_DISP, MAX_DISP + 2):
+        w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)
+        out = out + _shift_axis(field, axis, a) * w[None]
+    return out
+
+
+def _backtrace_split(both: jax.Array, dt: jax.Array, config: FluidConfig) -> jax.Array:
+    """One dimensional-split backtrace of the combined (7, Z, Y, X) field.
+
+    Each pass uses the velocity component advected by the previous passes,
+    so the staircase follows the backtrace path instead of the endpoint's
+    axis components (reduces splitting error at large CFL).
+    """
+    z, y, x = config.zyx
+    dx = -both[0] * dt * x
+    sampled = _advect_1d(both, dx, axis=3)
+    dy = -sampled[1] * dt * y
+    sampled = _advect_1d(sampled, dy, axis=2)
+    if config.is_3d:
+        dz = -sampled[2] * dt * z
+        sampled = _advect_1d(sampled, dz, axis=1)
+    return sampled
+
+
+def advect_fast(
+    velocity: jax.Array,
+    color: jax.Array,
+    time_step: jax.Array,
+    config: FluidConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dense-shift advection; same contract as sim/advect.advect.
+
+    The backtrace runs in `advect_substeps` sub-steps of dt/n: splitting
+    error scales with the square of the per-step displacement, so two
+    half-steps roughly halve the deviation from direct trilinear sampling at
+    the reference's ~12-voxel CFL.
+    """
+    n_sub = max(int(getattr(config, "advect_substeps", 2)), 1)
+    dtype = velocity.dtype
+    dt_full = jnp.asarray(time_step, dtype)
+
+    both = jnp.concatenate([velocity, color], axis=0)  # (7, Z, Y, X)
+    for _ in range(n_sub):
+        both = _backtrace_split(both, dt_full / n_sub, config)
+    sampled = both
+    z, y, x = config.zyx
+    dt = dt_full
+
+    u_new = jnp.moveaxis(sampled[:3], 0, -1)  # (Z, Y, X, 3)
+    c_new = sampled[3:]
+
+    # Impulse, forces, saturation, dissipation: identical to the faithful
+    # path (CSAdvect.hlsl:57-78).
+    pos = _voxel_centers(config, dtype)
+    disp = pos - jnp.asarray(config.impulse_pos, dtype)
+    radius = config.impulse_radius if config.is_3d else config.impulse_radius * 0.5
+    d2 = jnp.sum(disp * disp, axis=-1)
+    basis = jnp.exp(-4.0 * d2 / (radius * radius))
+    in_impulse = basis >= jnp.exp(jnp.asarray(-4.0, dtype))
+
+    ext = jnp.asarray(config.ext_force, dtype) * basis[..., None]
+    if config.is_3d:
+        vort = (
+            jnp.stack([-disp[..., 2], jnp.zeros_like(d2), disp[..., 0]], axis=-1)
+            * config.vort_scale
+        )
+        ext = ext * config.force_scale_3d + vort
+    u_new = u_new + jnp.where(in_impulse[..., None], ext * dt, 0.0)
+
+    impulse_rgba = (
+        jnp.asarray((*config.impulse_color, 1.0), dtype) * config.impulse_density
+    )
+    dye = impulse_rgba[:, None, None, None] * (basis * dt)[None]
+    c_new = jnp.clip(c_new + jnp.where(in_impulse[None], dye, 0.0), 0.0, 1.0)
+
+    atten = jnp.maximum(1.0 - config.dissipation * dt, 0.0)
+    u_new = jnp.moveaxis(u_new, -1, 0) * atten
+    c_new = c_new * atten
+    return u_new.astype(dtype), c_new.astype(dtype)

@@ -115,10 +115,24 @@ def project(
     is_3d = config.is_3d
     rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
 
+    # The Pallas slab-blocked solver needs enough z-planes for its halos and
+    # a sweep count divisible by its inner blocking.
+    use_pallas = (
+        config.use_pallas
+        and is_3d
+        and config.zyx[0] >= 32
+        and config.num_pressure_iters % 8 == 0
+    )
+
     def run(args):
         vel, q = args
         b = divergence(vel, is_3d).astype(jnp.float32)
-        q = jacobi_sweeps(q, b, config.num_pressure_iters, is_3d)
+        if use_pallas:
+            from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas
+
+            q = jacobi_pallas(q, b, config.num_pressure_iters)
+        else:
+            q = jacobi_sweeps(q, b, config.num_pressure_iters, is_3d)
         vel = subtract_gradient(vel, q, rho, is_3d)
         vel = boundary_damp(vel, config)
         return vel, q

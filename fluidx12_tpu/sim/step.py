@@ -12,10 +12,12 @@ import jax
 from fluidx12_tpu.core.config import FluidConfig
 from fluidx12_tpu.core.state import FluidState
 from fluidx12_tpu.sim.advect import advect
+from fluidx12_tpu.sim.advect_fast import advect_fast
 from fluidx12_tpu.sim.project import project
 
 
 def simulate(state: FluidState, time_step: jax.Array, config: FluidConfig) -> FluidState:
-    velocity, color = advect(state.velocity, state.color, time_step, config)
+    advect_fn = advect_fast if config.fast_sim else advect
+    velocity, color = advect_fn(state.velocity, state.color, time_step, config)
     velocity, pressure = project(velocity, state.pressure, time_step, config)
     return FluidState(velocity=velocity, color=color, pressure=pressure)

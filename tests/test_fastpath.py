@@ -1,0 +1,164 @@
+"""TPU-native fast paths vs the faithful gather-based reference paths.
+
+This is the framework's own "dual-stack" cross-check (the analog of the
+reference's Core-vs-EZ toggle, SURVEY.md section 4.2): the slice-sweep light
+map and the slice-compositing cube marcher must agree with the per-ray
+marchers within sampling tolerance.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fluidx12_tpu.core.config import FluidConfig
+from fluidx12_tpu.render.lightmap import render_light_map
+from fluidx12_tpu.render.lightmap_sweep import (
+    directional_transmittance,
+    render_light_map_fast,
+)
+from fluidx12_tpu.render.cubemap import ray_march_cube
+from fluidx12_tpu.render.slicecomp import ray_march_cube_fast
+from fluidx12_tpu.render.resolve import resolve_cube
+from tests.test_render import scene, tiny_config
+
+
+def _smoke_grid(n=16, seed=0):
+    rng = np.random.default_rng(seed)
+    grid = np.zeros((4, n, n, n), np.float32)
+    c = n // 2
+    blob = rng.uniform(0.1, 0.8, (n // 2, n // 2, n // 2)).astype(np.float32)
+    # smooth it so gradients are sane
+    for ax in range(3):
+        blob = (np.roll(blob, 1, ax) + blob + np.roll(blob, -1, ax)) / 3.0
+    sl = slice(c - n // 4, c + n // 4)
+    grid[3, sl, sl, sl] = blob
+    grid[0, sl, sl, sl] = blob * 0.5
+    grid[1, sl, sl, sl] = blob * 0.6
+    grid[2, sl, sl, sl] = blob * 0.8
+    return grid
+
+
+def test_directional_transmittance_axis_aligned_exact():
+    # Light along +y exactly: the sweep must match a direct cumulative product.
+    n = 16
+    cfg = tiny_config()
+    density = np.zeros((n, n, n), np.float32)
+    density[:, :, :] = 0.1
+    ref_step = 2 * np.sqrt(3) / 16
+    t = np.asarray(directional_transmittance(
+        jnp.asarray(density), jnp.asarray([0.0, 1.0, 0.0], np.float32),
+        1, jnp.float32(ref_step), 0.8,
+    ))
+    # Voxel at y index j: ray toward +y passes slices j+1..n-1, each with
+    # path (2/n) local units => exponent per slice = (2/n)/ref_step.
+    exp_per = (2.0 / n) / ref_step
+    att = (1 - 0.1 * 0.8) ** exp_per
+    for j in [0, 5, 14, 15]:
+        expected = att ** (n - 1 - j)
+        got = t[8, j, 8]
+        np.testing.assert_allclose(got, expected, rtol=0.02, err_msg=f"j={j}")
+
+
+def test_fast_light_map_matches_faithful():
+    cfg = tiny_config()
+    grid = jnp.asarray(_smoke_grid())
+    params = scene(cfg)
+    slow = np.asarray(render_light_map(grid, params, cfg))
+    fast = np.asarray(render_light_map_fast(grid, params, cfg))
+    assert np.isfinite(fast).all()
+    # Compare inside the volume where density is meaningful.
+    d = np.asarray(grid[3])
+    mask = d > 0.02
+    rel = np.abs(fast[0][mask] - slow[0][mask]) / (np.abs(slow[0][mask]) + 1e-3)
+    # Sampling patterns differ (slice midpoints vs fixed-step marching with
+    # adaptive growth), so allow moderate tolerance; the mean must be tight.
+    assert rel.mean() < 0.15, rel.mean()
+    assert np.corrcoef(fast[0][mask], slow[0][mask])[0, 1] > 0.9
+
+
+def test_fast_cube_march_matches_faithful_image():
+    cfg = tiny_config()
+    grid = jnp.asarray(_smoke_grid())
+    params = scene(cfg)
+    lm = render_light_map(grid, params, cfg)
+
+    slow_cube = ray_march_cube(grid, params, cfg, lod=0, light_map=lm)
+    fast_cube = ray_march_cube_fast(grid, params, cfg, light_map=lm)
+    img_slow = np.asarray(resolve_cube(slow_cube, params, cfg))
+    img_fast = np.asarray(resolve_cube(fast_cube, params, cfg))
+
+    assert np.isfinite(img_fast).all()
+    a1 = img_fast[..., 3] > 0.05
+    a2 = img_slow[..., 3] > 0.05
+    union = (a1 | a2).sum()
+    inter = (a1 & a2).sum()
+    assert union > 0 and inter / union > 0.75, inter / union
+    # Energy within 35% (different sampling distributions along rays).
+    e1, e2 = img_fast[..., 3].sum(), img_slow[..., 3].sum()
+    assert 0.65 < e1 / e2 < 1.5, e1 / e2
+    # Pixelwise agreement where both hit.
+    both = a1 & a2
+    diff = np.abs(img_fast[both] - img_slow[both]).mean()
+    assert diff < 0.12, diff
+
+
+def test_fast_cube_march_lod_downsample():
+    cfg = tiny_config()
+    grid = jnp.asarray(_smoke_grid())
+    params = scene(cfg)
+    lm = render_light_map(grid, params, cfg)
+    cube1 = np.asarray(ray_march_cube_fast(grid, params, cfg, light_map=lm, lod=1))
+    assert cube1.shape == (6, 8, 8, 4)
+    assert np.isfinite(cube1).all()
+
+
+def test_fast_advect_matches_faithful():
+    import dataclasses
+    from fluidx12_tpu.sim.advect import advect
+    from fluidx12_tpu.sim.advect_fast import advect_fast
+    from fluidx12_tpu.core.state import make_initial_state
+    from fluidx12_tpu.sim.step import simulate
+    import jax
+
+    cfg = FluidConfig(grid_size=(32, 32, 32))
+    # Exactness at uniform velocity (splitting introduces no error there).
+    rng = np.random.default_rng(0)
+    color = rng.uniform(0, 0.5, (4,) + cfg.zyx).astype(np.float32)
+    vel = np.zeros((3,) + cfg.zyx, np.float32)
+    vel[0], vel[1], vel[2] = 1.3, 0.7, -0.5
+    _, c_ref = advect(jnp.asarray(vel), jnp.asarray(color), cfg.time_step, cfg)
+    _, c_fast = advect_fast(jnp.asarray(vel), jnp.asarray(color), cfg.time_step, cfg)
+    np.testing.assert_allclose(np.asarray(c_fast), np.asarray(c_ref), atol=1e-5)
+
+    # Statistical agreement on a developed flow: the split backtrace is a
+    # different (but valid) discretization; it deviates locally at the
+    # sub-grid impulse vortex, so compare bulk metrics, not pointwise.
+    cfg_slow = dataclasses.replace(cfg, fast_sim=False, use_pallas=False)
+    state = make_initial_state(cfg_slow)
+    step = jax.jit(lambda s: simulate(s, cfg_slow.time_step, cfg_slow))
+    for _ in range(10):
+        state = step(state)
+    _, c_ref = advect(state.velocity, state.color, cfg.time_step, cfg)
+    _, c_fast = advect_fast(state.velocity, state.color, cfg.time_step, cfg)
+    c_ref = np.asarray(c_ref)
+    c_fast = np.asarray(c_fast)
+    assert np.abs(c_fast - c_ref).mean() < 0.005
+    mass = c_fast[3].sum() / max(c_ref[3].sum(), 1e-6)
+    assert 0.9 < mass < 1.1, mass
+
+
+def test_fast_sim_stays_stable_long_run():
+    import jax
+    from fluidx12_tpu.core.state import make_initial_state
+    from fluidx12_tpu.sim.step import simulate
+
+    cfg = FluidConfig(grid_size=(32, 32, 32))  # fast_sim on by default
+    state = make_initial_state(cfg)
+    step = jax.jit(lambda s: simulate(s, cfg.time_step, cfg))
+    for _ in range(40):
+        state = step(state)
+    c = np.asarray(state.color)
+    v = np.asarray(state.velocity)
+    assert np.isfinite(c).all() and np.isfinite(v).all()
+    assert c.min() >= 0.0 and c.max() <= 1.0
+    assert c[3].max() > 0.05
+    assert np.abs(v).max() < 50.0

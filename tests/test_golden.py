@@ -1,0 +1,102 @@
+"""Golden-image regression tests (SURVEY.md section 4: the reference's only
+numerical output path is the F11 screenshot; goldens make that a real test).
+
+Goldens are small CPU-rendered frames at pinned configs committed under
+tests/goldens/.  Regenerate deliberately with:
+
+    python tests/test_golden.py --regen
+
+Comparisons allow small per-pixel drift (backend math differences) but fail
+on structural change.
+"""
+
+import os
+import sys
+
+if __name__ == "__main__":
+    # Direct script use (--regen): goldens must be CPU-rendered, like the
+    # pytest runs (conftest forces CPU there).
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from fluidx12_tpu.core.config import FluidConfig, RenderMethod
+from fluidx12_tpu.engine.fluidx import FluidXEngine
+from fluidx12_tpu.engine.frame_loop import FrameLoop
+from fluidx12_tpu.utils.png import read_png, write_png
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+CONFIGS = {
+    # Fluid2D.bat analog, small
+    "fluid2d": dict(
+        config=FluidConfig(grid_size=(64, 64, 1), viewport=(64, 64),
+                           num_pressure_iters=16),
+        method=RenderMethod.RAY_MARCH_SEPARATE,
+        frames=40,
+    ),
+    # 3D separate-light cube path (the default OPTIMIZED pipeline)
+    "fluid3d_separate": dict(
+        config=FluidConfig(grid_size=(24, 24, 24), viewport=(64, 64),
+                           max_ray_samples=32, max_light_samples=8,
+                           num_pressure_iters=16),
+        method=RenderMethod.RAY_MARCH_SEPARATE,
+        frames=35,
+    ),
+    # 3D direct merged path (PSRayCast analog, faithful gather marcher)
+    "fluid3d_direct": dict(
+        config=FluidConfig(grid_size=(24, 24, 24), viewport=(64, 64),
+                           max_ray_samples=32, max_light_samples=8,
+                           num_pressure_iters=16),
+        method=RenderMethod.RAY_MARCH_DIRECT_MERGED,
+        frames=35,
+    ),
+}
+
+
+def render_case(name):
+    case = CONFIGS[name]
+    engine = FluidXEngine(case["config"])
+    engine.render_method = case["method"]
+    loop = FrameLoop(engine, show_fps=False)
+    return loop.run(case["frames"])
+
+
+def _golden_path(name):
+    return os.path.join(GOLDEN_DIR, f"{name}.png")
+
+
+def _check(name):
+    img = render_case(name)
+    golden = read_png(_golden_path(name))
+    assert img.shape == golden.shape
+    diff = np.abs(img.astype(np.int32) - golden.astype(np.int32))
+    # Allow small numeric drift; fail on structural change.
+    assert diff.mean() < 2.0, f"{name}: mean abs diff {diff.mean():.2f}"
+    assert (diff > 25).mean() < 0.01, f"{name}: {(diff > 25).mean():.4f} pixels changed a lot"
+
+
+def test_golden_fluid2d():
+    _check("fluid2d")
+
+
+def test_golden_fluid3d_separate():
+    _check("fluid3d_separate")
+
+
+def test_golden_fluid3d_direct():
+    _check("fluid3d_direct")
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for name in CONFIGS:
+            img = render_case(name)
+            write_png(_golden_path(name), img)
+            print(f"wrote {name}: {img.shape}")
+    else:
+        print(__doc__)

@@ -10,7 +10,10 @@ from fluidx12_tpu.parallel.domain import shard_state, sharded_simulate
 from fluidx12_tpu.parallel.mesh import make_grid_mesh
 from fluidx12_tpu.sim.step import simulate
 
-CFG = FluidConfig(grid_size=(32, 32, 32), num_pressure_iters=16)
+# The sharded step implements the faithful (gather-based) semantics; pin the
+# single-device comparison to the same path.
+CFG = FluidConfig(grid_size=(32, 32, 32), num_pressure_iters=16,
+                  fast_sim=False, use_pallas=False)
 
 
 def test_mesh_has_8_devices():
@@ -53,3 +56,9 @@ def test_sharded_step_keeps_sharding():
     state = shard_state(make_initial_state(CFG), mesh)
     out = jax.jit(lambda s: sharded_simulate(s, CFG.time_step, CFG, mesh))(state)
     assert len(out.velocity.sharding.device_set) == 8
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -167,3 +167,39 @@ def test_lightmap_shadow_gradient_along_light_dir():
     lit = lm[0, 2, 13, 13]       # corner voxel facing the light
     shadowed = lm[0, 13, 2, 2]   # opposite corner, behind the dense cube
     assert lit > shadowed * 1.2
+
+
+def test_face_cull_modes_agree():
+    import dataclasses
+    from fluidx12_tpu.core.config import FaceCullMode
+    from fluidx12_tpu.render.lightmap import render_light_map
+
+    cfg_mask = tiny_config()
+    cfg_none = dataclasses.replace(cfg_mask, face_cull=FaceCullMode.NONE)
+    grid = np.zeros((4, 16, 16, 16), np.float32)
+    grid[3, 6:10, 6:10, 6:10] = 0.5
+    grid[:3, 6:10, 6:10, 6:10] = 0.3
+    g = jnp.asarray(grid)
+    params = scene(cfg_mask)
+    lm = render_light_map(g, params, cfg_mask)
+    c_mask = np.asarray(ray_march_cube(g, params, cfg_mask, light_map=lm))
+    c_none = np.asarray(ray_march_cube(g, params, cfg_none, light_map=lm))
+    np.testing.assert_allclose(c_mask, c_none, atol=1e-6)
+
+
+def test_point_light_mode_differs_sensibly():
+    # _POINT_LIGHT_ analog: a point light at the reference light position
+    # must produce a different (but finite) light map than directional mode,
+    # with empty voxels still fully lit.
+    cfg_dir = tiny_config()
+    cfg_pt = dataclasses.replace(cfg_dir, point_light=True)
+    grid = np.zeros((4, 16, 16, 16), np.float32)
+    grid[3, 6:10, 6:10, 6:10] = 0.9
+    g = jnp.asarray(grid)
+    params = scene(cfg_dir)
+    lm_dir = np.asarray(render_light_map(g, params, cfg_dir))
+    lm_pt = np.asarray(render_light_map(g, params, cfg_pt))
+    assert np.isfinite(lm_pt).all()
+    assert np.abs(lm_pt - lm_dir).max() > 1e-3
+    # Empty corner voxel: full light either way.
+    np.testing.assert_allclose(lm_pt[:, 0, 0, 0], lm_dir[:, 0, 0, 0], atol=1e-5)

@@ -3,6 +3,9 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 The baseline target is 60 sim+render steps/sec at 128^3 on one TPU v5e chip
 (BASELINE.md).  Extra diagnostic lines go to stderr.
+
+`python bench.py --all` additionally measures the BASELINE.json config suite
+(2D 512^2, 128^3 paths, 256^3 paths) and reports them on stderr.
 """
 
 import json
@@ -53,7 +56,48 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 3),
     }
+
+    if "--all" in sys.argv:
+        run_config_suite()
+
     print(json.dumps(result))
+
+
+def run_config_suite():
+    """Measure the BASELINE.json config suite; report to stderr."""
+    import jax
+    import numpy as np
+
+    from fluidx12_tpu.core.config import FluidConfig, RenderMethod
+    from fluidx12_tpu.engine.fluidx import FluidXEngine
+
+    cases = [
+        ("Fluid2D 512^2 visualize", FluidConfig(grid_size=(512, 512, 1)),
+         RenderMethod.RAY_MARCH_SEPARATE),
+        ("Fluid3D 128^3 separate cube (OPTIMIZED)", FluidConfig(),
+         RenderMethod.RAY_MARCH_SEPARATE),
+        ("Fluid3D 256^3 separate cube", FluidConfig(grid_size=(256, 256, 256)),
+         RenderMethod.RAY_MARCH_SEPARATE),
+    ]
+    for name, cfg, method in cases:
+        try:
+            engine = FluidXEngine(cfg)
+            engine.render_method = method
+            img = engine.step_frame()
+            np.asarray(img.ravel()[:4])
+            for _ in range(5):
+                img = engine.step_frame()
+            np.asarray(img.ravel()[:4])
+            t0 = time.perf_counter()
+            n = 15
+            for _ in range(n):
+                img = engine.step_frame()
+            np.asarray(img.ravel()[:4])
+            dt = (time.perf_counter() - t0) / n
+            print(f"# {name}: {dt*1000:.2f} ms/step = {1/dt:.1f} steps/s",
+                  file=sys.stderr)
+        except Exception as e:  # keep the suite best-effort
+            print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

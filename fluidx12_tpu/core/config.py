@@ -98,9 +98,16 @@ class FluidConfig:
     # Compute dtype for render-path sampling/accumulation. The reference used
     # min16float accumulation into an RGBA8 target; bf16 is the TPU analog.
     render_dtype: jnp.dtype = jnp.float32
-    # Use Pallas kernels where available (False = pure-XLA reference path; the
-    # two paths are the "Core vs EZ" dual-stack cross-check, SURVEY.md section 4).
+    # Master switch for Pallas kernels (False = pure-XLA everywhere; the two
+    # paths are a dual-stack cross-check, SURVEY.md section 4).  Kernels only
+    # engage on the TPU backend; CPU always runs the XLA twins.
     use_pallas: bool = True
+    # Per-kernel gates (measured at 128^3 on v5e):
+    # - advection backtrace rolls in VMEM (XLA dense-shift: 18 ms)
+    pallas_advect: bool = True
+    # - Jacobi slab kernel: off until its DMA is double-buffered (XLA 5.5 ms
+    #   beats the serial-DMA kernel's 33 ms)
+    pallas_jacobi: bool = False
     # Use the TPU-native slice-reformulated render passes (lightmap sweep +
     # slice-compositing cube march) instead of the faithful per-ray gather
     # marchers.  ~1000x on TPU; cross-checked in tests/test_fastpath.py.

@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fps", action="store_true", help="hide FPS readout (ref: F1)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--profile-passes", action="store_true",
+                   help="print per-pass timings after the run")
+    p.add_argument("--watchdog", type=int, default=0, metavar="N",
+                   help="check/recover sim state every N frames")
+    p.add_argument("--metrics", type=str, default=None,
+                   help="append JSON-lines frame metrics to this file")
     return p
 
 
@@ -96,7 +102,8 @@ def main(argv=None) -> int:
     if args.restore:
         engine.state = load_state(args.restore, expected_zyx=cfg.zyx)
 
-    loop = FrameLoop(engine, show_fps=not args.no_fps)
+    loop = FrameLoop(engine, show_fps=not args.no_fps,
+                     watchdog_every=args.watchdog, metrics_path=args.metrics)
 
     if args.profile:
         import jax
@@ -108,6 +115,12 @@ def main(argv=None) -> int:
 
     if args.checkpoint:
         save_state(args.checkpoint, engine.state)
+
+    if args.profile_passes:
+        from fluidx12_tpu.engine.profiler import profile_passes
+
+        for name, ms in profile_passes(engine).items():
+            print(f"[profile] {name:12s} {ms:8.2f} ms", file=sys.stderr)
     return 0
 
 

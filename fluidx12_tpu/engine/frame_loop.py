@@ -25,9 +25,17 @@ from fluidx12_tpu.utils.png import write_png
 class FrameLoop:
     FRAMES_IN_FLIGHT = 3  # ref FrameCount (Fluid.h:35)
 
-    def __init__(self, engine: FluidXEngine, show_fps: bool = True):
+    def __init__(self, engine: FluidXEngine, show_fps: bool = True,
+                 watchdog_every: int = 0, metrics_path: Optional[str] = None):
+        """watchdog_every > 0 enables a divergence watchdog: every N frames
+        the state is checked for NaN/Inf and reset if corrupted (failure
+        detection + elastic recovery; the reference has neither, SURVEY.md
+        section 5.3).  metrics_path appends JSON-lines frame metrics."""
         self.engine = engine
         self.show_fps = show_fps
+        self.watchdog_every = watchdog_every
+        self.metrics_path = metrics_path
+        self.recoveries = 0
         self._in_flight = collections.deque()
         self._fps_window_start = time.perf_counter()
         self._fps_frame_count = 0
@@ -46,6 +54,8 @@ class FrameLoop:
             if len(self._in_flight) > self.FRAMES_IN_FLIGHT:
                 self._in_flight.popleft().block_until_ready()
             self._tick_fps()
+            if self.watchdog_every and (i + 1) % self.watchdog_every == 0:
+                self._watchdog()
             if screenshot_every and (i + 1) % screenshot_every == 0 and screenshot_path:
                 path = screenshot_path.format(frame=i + 1)
                 write_png(path, to_srgb_u8(np.asarray(image)))
@@ -57,6 +67,33 @@ class FrameLoop:
                 write_png(screenshot_path.format(frame=self.engine.frame_index), arr)
             return arr
         return None
+
+    def _watchdog(self):
+        """Detect and recover from numerical divergence of the sim state."""
+        import json
+
+        from fluidx12_tpu.core.state import make_initial_state
+
+        c = np.asarray(self.engine.state.color[:, ::8, ::8, ::8])
+        v = np.asarray(self.engine.state.velocity[:, ::8, ::8, ::8])
+        healthy = bool(np.isfinite(c).all() and np.isfinite(v).all())
+        if not healthy:
+            self.recoveries += 1
+            print(f"[fluidx12-tpu] WATCHDOG: non-finite state at frame "
+                  f"{self.engine.frame_index}; resetting simulation "
+                  f"(recovery #{self.recoveries})")
+            self.engine.state = make_initial_state(self.engine.config)
+        if self.metrics_path:
+            rec = {
+                "frame": self.engine.frame_index,
+                "fps": self.last_fps,
+                "healthy": healthy,
+                "density_max": float(c[3].max()) if healthy else None,
+                "speed_max": float(np.abs(v).max()) if healthy else None,
+                "recoveries": self.recoveries,
+            }
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
     def _tick_fps(self):
         self._fps_frame_count += 1

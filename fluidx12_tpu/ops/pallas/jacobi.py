@@ -30,15 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _clamped_shift_yx(q, axis, offset):
-    """Edge-clamped +-1 shift along Y (axis -2) or X (axis -1) in VMEM."""
+    """Edge-clamped +-1 shift along Y (axis -2) or X (axis -1) in VMEM.
+
+    Uses pltpu.roll (cheap vector rotate) + an iota edge fix instead of
+    slice+concatenate, which lowers to slow lane shuffles in Mosaic.
+    """
     n = q.shape[axis]
+    ax = axis % q.ndim
+    # out[i] = q[i + offset] (circular); pltpu.roll requires shift >= 0.
+    rolled = pltpu.roll(q, (n - offset) % n, ax)
+    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, ax)
     if offset > 0:
-        body = jax.lax.slice_in_dim(q, 1, n, axis=axis)
-        edge = jax.lax.slice_in_dim(q, n - 1, n, axis=axis)
-        return jax.lax.concatenate([body, edge], dimension=axis % q.ndim)
-    body = jax.lax.slice_in_dim(q, 0, n - 1, axis=axis)
-    edge = jax.lax.slice_in_dim(q, 0, 1, axis=axis)
-    return jax.lax.concatenate([edge, body], dimension=axis % q.ndim)
+        return jnp.where(ids == n - 1, q, rolled)
+    return jnp.where(ids == 0, q, rolled)
 
 
 def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, halo: int, inner: int,

@@ -221,8 +221,9 @@ def eval_light_merged(
     shadow ray toward the light + (optionally) SH irradiance with an AO ray."""
     density = grid[-1:]
     ones = jnp.ones(pos.shape[:-1], pos.dtype)
+    light_dir = light_direction_at(env, pos)
     shadow = cast_light_ray(
-        density, ones, pos, light_direction_at(env, pos), light_step,
+        density, ones, pos, light_dir, light_step,
         max_light_samples, num_light_samples, config,
     )
 

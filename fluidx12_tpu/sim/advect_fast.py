@@ -102,8 +102,18 @@ def advect_fast(
     dt_full = jnp.asarray(time_step, dtype)
 
     both = jnp.concatenate([velocity, color], axis=0)  # (7, Z, Y, X)
+    use_kernel = (
+        config.use_pallas
+        and config.pallas_advect
+        and jax.default_backend() == "tpu"
+    )
     for _ in range(n_sub):
-        both = _backtrace_split(both, dt_full / n_sub, config)
+        if use_kernel:
+            from fluidx12_tpu.ops.pallas.advect import backtrace_pallas
+
+            both = backtrace_pallas(both, dt_full / n_sub, config)
+        else:
+            both = _backtrace_split(both, dt_full / n_sub, config)
     sampled = both
     z, y, x = config.zyx
     dt = dt_full

@@ -119,6 +119,7 @@ def project(
     # a sweep count divisible by its inner blocking.
     use_pallas = (
         config.use_pallas
+        and config.pallas_jacobi
         and is_3d
         and config.zyx[0] >= 32
         and config.num_pressure_iters % 8 == 0

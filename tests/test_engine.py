@@ -75,3 +75,24 @@ def test_method_toggle_cycles():
         seen.add(m)
     assert len(seen) == 4
     assert m.next() == RenderMethod.RAY_MARCH_SEPARATE
+
+
+def test_watchdog_recovers_from_nan(tmp_path):
+    import jax.numpy as jnp
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(16, 16),
+                      max_ray_samples=8, max_light_samples=4, num_pressure_iters=4)
+    engine = FluidXEngine(cfg)
+    metrics = str(tmp_path / "metrics.jsonl")
+    loop = FrameLoop(engine, show_fps=False, watchdog_every=2, metrics_path=metrics)
+    loop.run(4)
+    # Corrupt the state and let the watchdog catch it.
+    engine.state = engine.state._replace(
+        color=engine.state.color.at[0, 0, 0, 0].set(jnp.nan)
+    )
+    loop.run(4)
+    assert loop.recoveries >= 1
+    assert np.isfinite(np.asarray(engine.state.color)).all()
+    import json
+    lines = [json.loads(l) for l in open(metrics)]
+    assert any(not l["healthy"] for l in lines)

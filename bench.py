@@ -15,6 +15,14 @@ import time
 
 def main():
     import jax
+
+    # Persistent compile cache: TPU remote compiles here take minutes; warm
+    # runs then start in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import numpy as np
 
     from __graft_entry__ import entry

@@ -82,6 +82,13 @@ def main(argv=None) -> int:
 
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     print(f"[fluidx12-tpu] backend: {jax.default_backend()}, "
           f"devices: {jax.device_count()}", file=sys.stderr)
 

@@ -98,8 +98,13 @@ def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
     interpret = jax.default_backend() == "cpu"
 
     slab = 8
-    while z % slab:
+    while slab > 1 and z % slab:
         slab //= 2
+    if z % slab:
+        # Odd z: no valid slab blocking; use the XLA path entirely.
+        from fluidx12_tpu.sim.advect_fast import _backtrace_split
+
+        return _backtrace_split(both, dt, config)
 
     # Fused x+y pass.
     scales_xy = jnp.asarray([[dt * x, dt * y]], jnp.float32)
@@ -124,7 +129,7 @@ def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
     # the whole axis lives in-block -- no halos, no windows.
     zt = jnp.transpose(xy, (0, 3, 2, 1))  # (7, X, Y, Z)
     slab_x = 8
-    while x % slab_x:
+    while slab_x > 1 and x % slab_x:
         slab_x //= 2
     scale_z = jnp.asarray([[dt * z]], jnp.float32)
     out_t = pl.pallas_call(

@@ -39,26 +39,21 @@ def _voxel_centers(config: FluidConfig, dtype) -> jax.Array:
     return jnp.stack([cx, cy, cz], axis=-1)
 
 
-def advect(
-    velocity: jax.Array,
-    color: jax.Array,
+def apply_impulse_forces(
+    u_new: jax.Array,  # (Z, Y, X, 3)
+    c_new: jax.Array,  # (4, Z, Y, X)
     time_step: jax.Array,
     config: FluidConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One advection step. velocity (3, Z, Y, X), color (4, Z, Y, X)."""
-    dtype = velocity.dtype
+    """Impulse injection + forces + saturation + dissipation, shared by both
+    advection implementations (CSAdvect.hlsl:57-78, Impulse.hlsli).
+
+    Returns (velocity (3, Z, Y, X), color (4, Z, Y, X)), attenuated.
+    """
+    dtype = c_new.dtype
     dt = jnp.asarray(time_step, dtype)
     pos = _voxel_centers(config, dtype)  # (Z, Y, X, 3)
 
-    # Backtrace and resample both fields with one shared 8-corner gather.
-    u = jnp.moveaxis(velocity, 0, -1)  # (Z, Y, X, 3) as (x, y, z) components
-    adv = pos - u * dt
-    both = jnp.concatenate([velocity, color], axis=0)  # (7, Z, Y, X)
-    sampled = trilinear_sample(both, adv, mode=AddressMode.MIRROR)
-    u_new = jnp.moveaxis(sampled[:3], 0, -1)  # (Z, Y, X, 3)
-    c_new = sampled[3:]                       # (4, Z, Y, X)
-
-    # Gaussian impulse (Impulse.hlsli / CSAdvect.hlsl:57-68).
     disp = pos - jnp.asarray(config.impulse_pos, dtype)
     radius = config.impulse_radius if config.is_3d else config.impulse_radius * 0.5
     d2 = jnp.sum(disp * disp, axis=-1)
@@ -86,6 +81,28 @@ def advect(
         c_new = c_new.at[:3].set(jnp.where(a > 0.0, c_new[:3] / a, c_new[:3]))
 
     atten = jnp.maximum(1.0 - config.dissipation * dt, 0.0)
-    u_new = jnp.moveaxis(u_new, -1, 0) * atten  # back to (3, Z, Y, X)
-    c_new = c_new * atten
-    return u_new.astype(dtype), c_new.astype(dtype)
+    u_out = jnp.moveaxis(u_new, -1, 0) * atten  # (3, Z, Y, X)
+    c_out = c_new * atten
+    return u_out.astype(dtype), c_out.astype(dtype)
+
+
+def advect(
+    velocity: jax.Array,
+    color: jax.Array,
+    time_step: jax.Array,
+    config: FluidConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """One advection step. velocity (3, Z, Y, X), color (4, Z, Y, X)."""
+    dtype = velocity.dtype
+    dt = jnp.asarray(time_step, dtype)
+    pos = _voxel_centers(config, dtype)  # (Z, Y, X, 3)
+
+    # Backtrace and resample both fields with one shared 8-corner gather.
+    u = jnp.moveaxis(velocity, 0, -1)  # (Z, Y, X, 3) as (x, y, z) components
+    adv = pos - u * dt
+    both = jnp.concatenate([velocity, color], axis=0)  # (7, Z, Y, X)
+    sampled = trilinear_sample(both, adv, mode=AddressMode.MIRROR)
+    u_new = jnp.moveaxis(sampled[:3], 0, -1)  # (Z, Y, X, 3)
+    c_new = sampled[3:]                       # (4, Z, Y, X)
+
+    return apply_impulse_forces(u_new, c_new, time_step, config)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from fluidx12_tpu.core.config import FluidConfig
-from fluidx12_tpu.sim.advect import _voxel_centers
+from fluidx12_tpu.sim.advect import apply_impulse_forces
 
 # Maximum per-axis backtrace displacement in voxels.
 MAX_DISP = 12
@@ -114,38 +114,6 @@ def advect_fast(
             both = backtrace_pallas(both, dt_full / n_sub, config)
         else:
             both = _backtrace_split(both, dt_full / n_sub, config)
-    sampled = both
-    z, y, x = config.zyx
-    dt = dt_full
-
-    u_new = jnp.moveaxis(sampled[:3], 0, -1)  # (Z, Y, X, 3)
-    c_new = sampled[3:]
-
-    # Impulse, forces, saturation, dissipation: identical to the faithful
-    # path (CSAdvect.hlsl:57-78).
-    pos = _voxel_centers(config, dtype)
-    disp = pos - jnp.asarray(config.impulse_pos, dtype)
-    radius = config.impulse_radius if config.is_3d else config.impulse_radius * 0.5
-    d2 = jnp.sum(disp * disp, axis=-1)
-    basis = jnp.exp(-4.0 * d2 / (radius * radius))
-    in_impulse = basis >= jnp.exp(jnp.asarray(-4.0, dtype))
-
-    ext = jnp.asarray(config.ext_force, dtype) * basis[..., None]
-    if config.is_3d:
-        vort = (
-            jnp.stack([-disp[..., 2], jnp.zeros_like(d2), disp[..., 0]], axis=-1)
-            * config.vort_scale
-        )
-        ext = ext * config.force_scale_3d + vort
-    u_new = u_new + jnp.where(in_impulse[..., None], ext * dt, 0.0)
-
-    impulse_rgba = (
-        jnp.asarray((*config.impulse_color, 1.0), dtype) * config.impulse_density
-    )
-    dye = impulse_rgba[:, None, None, None] * (basis * dt)[None]
-    c_new = jnp.clip(c_new + jnp.where(in_impulse[None], dye, 0.0), 0.0, 1.0)
-
-    atten = jnp.maximum(1.0 - config.dissipation * dt, 0.0)
-    u_new = jnp.moveaxis(u_new, -1, 0) * atten
-    c_new = c_new * atten
-    return u_new.astype(dtype), c_new.astype(dtype)
+    u_new = jnp.moveaxis(both[:3], 0, -1)  # (Z, Y, X, 3)
+    c_new = both[3:]
+    return apply_impulse_forces(u_new, c_new, dt_full, config)

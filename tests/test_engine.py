@@ -96,3 +96,20 @@ def test_watchdog_recovers_from_nan(tmp_path):
     import json
     lines = [json.loads(l) for l in open(metrics)]
     assert any(not l["healthy"] for l in lines)
+
+
+def test_smoke_model_api():
+    import jax
+    from fluidx12_tpu.models import SmokeModel
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(24, 24),
+                      max_ray_samples=8, max_light_samples=4, num_pressure_iters=4)
+    model = SmokeModel(cfg)
+    state = model.init()
+    params = model.default_params()
+    step = jax.jit(model.step, donate_argnums=(0,))
+    for _ in range(5):
+        state, image = step(state, params)
+    img = np.asarray(image)
+    assert img.shape == (24, 24, 3)
+    assert np.isfinite(img).all()

@@ -90,3 +90,13 @@ def test_irradiance_dominant_direction():
     up = np.asarray(evaluate_sh_irradiance(coeffs, jnp.asarray([0.0, 1.0, 0.0])))
     down = np.asarray(evaluate_sh_irradiance(coeffs, jnp.asarray([0.0, -1.0, 0.0])))
     assert up[0] > down[0] * 2
+
+
+def test_basis_order6_orthonormality():
+    # Full SHMath.hlsli parity: degree-5 (order-6, 36 coeff) basis.
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((400000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    b = np.asarray(sh_eval_basis(6, v.astype(np.float64)))
+    gram = (b.T @ b) / v.shape[0] * 4 * np.pi
+    np.testing.assert_allclose(gram, np.eye(36), atol=0.12)

@@ -14,7 +14,6 @@ import collections
 import time
 from typing import Optional
 
-import jax
 import numpy as np
 
 from fluidx12_tpu.engine.fluidx import FluidXEngine

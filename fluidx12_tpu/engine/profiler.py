@@ -12,7 +12,7 @@ which is the only reliable completion barrier.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
@@ -36,8 +36,6 @@ def time_fn(fn, *args, reps: int = 5) -> float:
 
 def profile_passes(engine, reps: int = 5) -> Dict[str, float]:
     """Time each pipeline stage of a FluidXEngine on its current state."""
-    import jax.numpy as jnp
-
     from fluidx12_tpu.render.lightmap import render_light_map
     from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
     from fluidx12_tpu.render.cubemap import ray_march_cube

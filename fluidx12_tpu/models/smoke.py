@@ -17,7 +17,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from fluidx12_tpu.core import math3d as m3
 from fluidx12_tpu.core.camera import OrbitCamera

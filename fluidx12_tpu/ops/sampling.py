@@ -20,7 +20,6 @@ form is bandwidth-limited.
 from __future__ import annotations
 
 import enum
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

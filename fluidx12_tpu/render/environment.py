@@ -11,8 +11,6 @@ is exposed via `finite_radius`.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

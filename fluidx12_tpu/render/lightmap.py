@@ -26,7 +26,6 @@ from fluidx12_tpu.ops.sampling import trilinear_sample
 from fluidx12_tpu.ops.transform import transform_vector
 from fluidx12_tpu.render.raymarch_core import (
     MAX_DIST,
-    LightEnv,
     cast_light_ray,
     density_gradient,
     local_to_tex,

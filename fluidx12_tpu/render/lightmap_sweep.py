@@ -25,8 +25,7 @@ unvectorizable; the 6-sweep basis is the standard dense approximation).
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from fluidx12_tpu.core.config import FluidConfig
 from fluidx12_tpu.core.state import SceneParams
 from fluidx12_tpu.gi.sh import evaluate_sh_irradiance
-from fluidx12_tpu.ops.sampling import AddressMode, trilinear_sample
+from fluidx12_tpu.ops.sampling import trilinear_sample
 from fluidx12_tpu.ops.transform import transform_vector
 
 # Local-space box diagonal (RayMarch.hlsli:29).  A plain float, NOT a jnp

@@ -29,9 +29,6 @@ the screen-space resolve are unchanged from render/cubemap.py.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

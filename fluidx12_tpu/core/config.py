@@ -103,13 +103,10 @@ class FluidConfig:
     # engage on the TPU backend; CPU always runs the XLA twins.
     use_pallas: bool = True
     # Per-kernel gates (measured at 128^3 on v5e):
-    # - advection backtrace rolls in VMEM (XLA dense-shift: 18 ms).  Default
-    #   off until the kernel is timed on hardware (the remote-compile service
-    #   was down when it landed); correctness is covered in interpret mode.
-    pallas_advect: bool = False
-    # - Jacobi slab kernel: off until its DMA is double-buffered (XLA 5.5 ms
-    #   beats the serial-DMA kernel's 33 ms)
-    pallas_jacobi: bool = False
+    # - advection backtrace rolls in VMEM: 5.7 ms vs 18.2 ms XLA dense-shift
+    pallas_advect: bool = True
+    # - Jacobi slab kernel (roll-based sweeps): 4.8 ms vs 5.5 ms XLA
+    pallas_jacobi: bool = True
     # Use the TPU-native slice-reformulated render passes (lightmap sweep +
     # slice-compositing cube march) instead of the faithful per-ray gather
     # marchers.  ~1000x on TPU; cross-checked in tests/test_fastpath.py.

@@ -2,20 +2,22 @@
 
 The XLA form (sim/advect_fast.py) emits ~26 separate pad+multiply kernels per
 axis pass, re-reading the 7-channel volume each time (~18 ms at 128^3).
-These kernels keep the block in VMEM and evaluate all taps as vector rolls:
+These kernels keep a block in VMEM and evaluate all taps as vector rolls.
 
-- x/y passes fuse into one kernel (both axes live entirely inside a
-  (7, slab, Y, X) block; lane rolls for x, sublane rolls for y),
-- the z pass transposes z onto the lane axis (XLA tiled transpose) and runs
-  the same lane resample -- the whole axis fits in-block, so no halos.
+Structure (sized for Mosaic's 16 MB scoped-VMEM stack: each tap's rolled
+temporary stays live, so blocks must be small):
+
+- one single-axis kernel, instantiated per pass; grid is (channel, z-slab)
+  with slab = 4, so 26 tap temporaries cost ~7 MB,
+- displacements are computed in XLA between passes (cheap elementwise) and
+  fed as a second input: pass x uses u_x, pass y the x-advected u_y, pass z
+  the xy-advected u_z (path-following splitting, same as the XLA twin),
+- the y pass rolls sublanes; the z pass transposes z onto the lane axis
+  (XLA tiled transpose) so the whole axis fits in-block with no halos.
 
 Boundary addressing is CLAMP (Mosaic has no reverse primitive for the mirror
 the reference sampler uses); see _resample_axis for why the difference is
 negligible here.  The XLA twin keeps exact mirror semantics.
-
-Per-pass displacement semantics match sim/advect_fast.py exactly: pass x uses
-u_x at the output voxel, pass y the x-advected u_y, pass z the xy-advected
-u_z (path-following splitting).
 """
 
 from __future__ import annotations
@@ -38,10 +40,9 @@ def _resample_axis(q: jax.Array, d: jax.Array, axis: int) -> jax.Array:
     out[i] = lerp(q[clamp(i + floor(d))], q[clamp(i + floor(d) + 1)]).
 
     Boundary addressing is CLAMP (edge broadcast); the reference sampler is
-    MIRROR, but Mosaic has no lane-reverse primitive and the two only differ
-    for backtraces that leave the volume -- which the projection's boundary
-    damping (CSProject3D.hlsl:104-108) keeps rare and shallow.  The XLA twin
-    (sim/advect_fast._advect_1d) keeps exact mirror semantics.
+    MIRROR, but the two only differ for backtraces that leave the volume --
+    which the projection's boundary damping (CSProject3D.hlsl:104-108) keeps
+    rare and shallow.
     """
     n = q.shape[axis]
     ids = jax.lax.broadcasted_iota(
@@ -63,86 +64,68 @@ def _resample_axis(q: jax.Array, d: jax.Array, axis: int) -> jax.Array:
     return out
 
 
-def _advect_xy_kernel(vol_ref, dx_scale_ref, out_ref):
-    """Fused x- then y-pass over a (7, slab, Y, X) block.
-
-    dx_scale_ref: (1, 1) SMEM scalars? -- displacement scale factors are
-    baked per call instead; vol channels: 0..2 velocity, 3..6 color.
-    """
-    sx = dx_scale_ref[0, 0]
-    sy = dx_scale_ref[0, 1]
-    vol = vol_ref[...]
-
-    dx = jnp.clip(-vol[0] * sx, -MAX_DISP, MAX_DISP)
-    vol = _resample_axis(vol, dx, axis=3)
-    dy = jnp.clip(-vol[1] * sy, -MAX_DISP, MAX_DISP)
-    vol = _resample_axis(vol, dy, axis=2)
-    out_ref[...] = vol
+def _pass_kernel(vol_ref, d_ref, out_ref, *, axis: int):
+    """One resample pass over a (1, slab, A, B) channel block; d (slab, A, B)."""
+    q = vol_ref[0]
+    d = d_ref[...]
+    out_ref[0] = _resample_axis(q, d, axis=axis - 1)
 
 
-def _advect_lane_kernel(vol_ref, scale_ref, out_ref, *, disp_channel: int):
-    """Single lane-axis pass over a (7, slab, A, B) block.
-
-    Displacement comes from `disp_channel` of the block itself; used for the
-    z pass on a transposed volume (z on the lane axis)."""
-    s = scale_ref[0, 0]
-    vol = vol_ref[...]
-    d = jnp.clip(-vol[disp_channel] * s, -MAX_DISP, MAX_DISP)
-    out_ref[...] = _resample_axis(vol, d, axis=3)
+def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, slab: int,
+              interpret: bool) -> jax.Array:
+    """vol (7, Z, A, B); disp (Z, A, B) pre-clipped; axis 2 (sublane) or 3 (lane)."""
+    c, z, a, b = vol.shape
+    return pl.pallas_call(
+        functools.partial(_pass_kernel, axis=axis),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        grid=(c, z // slab),
+        in_specs=[
+            pl.BlockSpec((1, slab, a, b), lambda ci, zi: (ci, zi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab, a, b), lambda ci, zi: (zi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, slab, a, b), lambda ci, zi: (ci, zi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vol, disp)
 
 
 def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
     """Full 3-pass split backtrace of the (7, Z, Y, X) combined field."""
     z, y, x = config.zyx
-    dtype = both.dtype
     interpret = jax.default_backend() == "cpu"
 
-    slab = 8
+    slab = 4
     while slab > 1 and z % slab:
         slab //= 2
     if z % slab:
-        # Odd z: no valid slab blocking; use the XLA path entirely.
         from fluidx12_tpu.sim.advect_fast import _backtrace_split
 
         return _backtrace_split(both, dt, config)
 
-    # Fused x+y pass.
-    scales_xy = jnp.asarray([[dt * x, dt * y]], jnp.float32)
-    xy = pl.pallas_call(
-        _advect_xy_kernel,
-        out_shape=jax.ShapeDtypeStruct(both.shape, dtype),
-        grid=(z // slab,),
-        in_specs=[
-            pl.BlockSpec((7, slab, y, x), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((7, slab, y, x), lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(both, scales_xy)
+    def clip_disp(u, scale):
+        return jnp.clip(-u * scale, -float(MAX_DISP), float(MAX_DISP))
 
+    # Pass x (lanes).
+    out = _run_pass(both, clip_disp(both[0], dt * x), axis=3,
+                    slab=slab, interpret=interpret)
+    # Pass y (sublanes) with the x-advected u_y.
+    out = _run_pass(out, clip_disp(out[1], dt * y), axis=2,
+                    slab=slab, interpret=interpret)
     if not config.is_3d:
-        return xy
+        return out
 
-    # Z pass: put z on the lane axis via an XLA transpose (cheap, tiled) so
-    # the whole axis lives in-block -- no halos, no windows.
-    zt = jnp.transpose(xy, (0, 3, 2, 1))  # (7, X, Y, Z)
-    slab_x = 8
+    # Pass z: transpose z onto lanes, resample, transpose back.
+    zt = jnp.transpose(out, (0, 3, 2, 1))  # (7, X, Y, Z)
+    slab_x = 4
     while slab_x > 1 and x % slab_x:
         slab_x //= 2
-    scale_z = jnp.asarray([[dt * z]], jnp.float32)
-    out_t = pl.pallas_call(
-        functools.partial(_advect_lane_kernel, disp_channel=2),
-        out_shape=jax.ShapeDtypeStruct(zt.shape, dtype),
-        grid=(x // slab_x,),
-        in_specs=[
-            pl.BlockSpec((7, slab_x, y, z), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((7, slab_x, y, z), lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(zt, scale_z)
+    if x % slab_x:
+        from fluidx12_tpu.sim.advect_fast import _advect_1d
+
+        dz = -out[2] * dt * z
+        return _advect_1d(out, dz, axis=1)
+    dz_t = jnp.transpose(clip_disp(out[2], dt * z), (2, 1, 0))  # (X, Y, Z)
+    out_t = _run_pass(zt, dz_t, axis=3, slab=slab_x, interpret=interpret)
     return jnp.transpose(out_t, (0, 3, 2, 1))

@@ -120,6 +120,7 @@ def project(
     use_pallas = (
         config.use_pallas
         and config.pallas_jacobi
+        and jax.default_backend() == "tpu"  # CPU runs the XLA twin
         and is_3d
         and config.zyx[0] >= 32
         and config.num_pressure_iters % 8 == 0

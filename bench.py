@@ -84,6 +84,8 @@ def run_config_suite():
          RenderMethod.RAY_MARCH_SEPARATE),
         ("Fluid3D 128^3 separate cube (OPTIMIZED)", FluidConfig(),
          RenderMethod.RAY_MARCH_SEPARATE),
+        ("Fluid3D 128^3 @1080p", FluidConfig(viewport=(1920, 1080)),
+         RenderMethod.RAY_MARCH_SEPARATE),
         ("Fluid3D 256^3 separate cube", FluidConfig(grid_size=(256, 256, 256)),
          RenderMethod.RAY_MARCH_SEPARATE),
     ]

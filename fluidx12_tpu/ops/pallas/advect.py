@@ -71,61 +71,102 @@ def _pass_kernel(vol_ref, d_ref, out_ref, *, axis: int):
     out_ref[0] = _resample_axis(q, d, axis=axis - 1)
 
 
-def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, slab: int,
-              interpret: bool) -> jax.Array:
-    """vol (7, Z, A, B); disp (Z, A, B) pre-clipped; axis 2 (sublane) or 3 (lane)."""
+# Per-tap temporaries stay live on Mosaic's 16 MB scoped-VMEM stack, so the
+# block must satisfy ~26 * block_bytes well under it.  256 KB blocks keep the
+# tap set ~7 MB.
+_BLOCK_BUDGET_ELEMS = 64 * 1024  # f32 elements per block (256 KB)
+
+
+def _pick_tiles(z: int, lat: int, res: int, gran: int):
+    """Choose (slab_z, lat_tile) so slab*lat_tile*res fits the budget.
+
+    `lat` is the tileable lateral dim (not resampled; tiles must stay a
+    multiple of `gran` -- 8 for sublanes, 128 for lanes -- per Mosaic's block
+    divisibility rule), `res` the resampled full-width dim.  Returns None if
+    no valid tiling exists.
+    """
+    lat_tile = lat
+    while (lat_tile * res > _BLOCK_BUDGET_ELEMS
+           and lat_tile % 2 == 0 and lat_tile // 2 >= gran
+           and lat_tile // 2 % gran == 0):
+        lat_tile //= 2
+    if lat % lat_tile or lat_tile * res > _BLOCK_BUDGET_ELEMS:
+        return None
+    slab = max(_BLOCK_BUDGET_ELEMS // (lat_tile * res), 1)
+    while slab > 1 and (z % slab or slab * lat_tile * res > _BLOCK_BUDGET_ELEMS):
+        slab //= 2
+    if z % slab:
+        return None
+    return slab, lat_tile
+
+
+def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, interpret: bool):
+    """vol (7, Z, A, B); disp (Z, A, B) pre-clipped; axis 2 (resample
+    sublanes, tile B) or 3 (resample lanes, tile A).  Returns None when no
+    valid tiling exists (caller falls back to XLA)."""
     c, z, a, b = vol.shape
+    if axis == 3:
+        tiles = _pick_tiles(z, a, b, gran=8)   # tile the sublane dim
+        if tiles is None:
+            return None
+        slab, a_t = tiles
+        block = (1, slab, a_t, b)
+        grid = (c, z // slab, a // a_t)
+        vol_map = lambda ci, zi, li: (ci, zi, li, 0)
+        d_map = lambda ci, zi, li: (zi, li, 0)
+        d_block = (slab, a_t, b)
+    else:
+        tiles = _pick_tiles(z, b, a, gran=128)  # tile the lane dim
+        if tiles is None:
+            return None
+        slab, b_t = tiles
+        block = (1, slab, a, b_t)
+        grid = (c, z // slab, b // b_t)
+        vol_map = lambda ci, zi, li: (ci, zi, 0, li)
+        d_map = lambda ci, zi, li: (zi, 0, li)
+        d_block = (slab, a, b_t)
     return pl.pallas_call(
         functools.partial(_pass_kernel, axis=axis),
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
-        grid=(c, z // slab),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, slab, a, b), lambda ci, zi: (ci, zi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((slab, a, b), lambda ci, zi: (zi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(d_block, d_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, slab, a, b), lambda ci, zi: (ci, zi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
         interpret=interpret,
     )(vol, disp)
 
 
 def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
-    """Full 3-pass split backtrace of the (7, Z, Y, X) combined field."""
+    """Full 3-pass split backtrace of the (7, Z, Y, X) combined field.
+
+    Any pass without a valid tiling falls back to its XLA twin for that pass.
+    """
+    from fluidx12_tpu.sim.advect_fast import _advect_1d
+
     z, y, x = config.zyx
     interpret = jax.default_backend() == "cpu"
-
-    slab = 4
-    while slab > 1 and z % slab:
-        slab //= 2
-    if z % slab:
-        from fluidx12_tpu.sim.advect_fast import _backtrace_split
-
-        return _backtrace_split(both, dt, config)
 
     def clip_disp(u, scale):
         return jnp.clip(-u * scale, -float(MAX_DISP), float(MAX_DISP))
 
     # Pass x (lanes).
-    out = _run_pass(both, clip_disp(both[0], dt * x), axis=3,
-                    slab=slab, interpret=interpret)
+    out = _run_pass(both, clip_disp(both[0], dt * x), axis=3, interpret=interpret)
+    if out is None:
+        out = _advect_1d(both, -both[0] * dt * x, axis=3)
     # Pass y (sublanes) with the x-advected u_y.
-    out = _run_pass(out, clip_disp(out[1], dt * y), axis=2,
-                    slab=slab, interpret=interpret)
+    out2 = _run_pass(out, clip_disp(out[1], dt * y), axis=2, interpret=interpret)
+    if out2 is None:
+        out2 = _advect_1d(out, -out[1] * dt * y, axis=2)
+    out = out2
     if not config.is_3d:
         return out
 
     # Pass z: transpose z onto lanes, resample, transpose back.
     zt = jnp.transpose(out, (0, 3, 2, 1))  # (7, X, Y, Z)
-    slab_x = 4
-    while slab_x > 1 and x % slab_x:
-        slab_x //= 2
-    if x % slab_x:
-        from fluidx12_tpu.sim.advect_fast import _advect_1d
-
-        dz = -out[2] * dt * z
-        return _advect_1d(out, dz, axis=1)
     dz_t = jnp.transpose(clip_disp(out[2], dt * z), (2, 1, 0))  # (X, Y, Z)
-    out_t = _run_pass(zt, dz_t, axis=3, slab=slab_x, interpret=interpret)
+    out_t = _run_pass(zt, dz_t, axis=3, interpret=interpret)
+    if out_t is None:
+        return _advect_1d(out, -out[2] * dt * z, axis=1)
     return jnp.transpose(out_t, (0, 3, 2, 1))

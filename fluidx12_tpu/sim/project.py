@@ -123,6 +123,9 @@ def project(
         and jax.default_backend() == "tpu"  # CPU runs the XLA twin
         and is_3d
         and config.zyx[0] >= 32
+        # The slab kernel holds (slab + 2*inner) full planes in VMEM; planes
+        # beyond 128^2 blow Mosaic's scoped-VMEM stack.
+        and config.zyx[1] * config.zyx[2] <= 128 * 128
         and config.num_pressure_iters % 8 == 0
     )
 

@@ -72,6 +72,59 @@ def make_initial_state(config: FluidConfig) -> FluidState:
     )
 
 
+_PACKED_SIZE = 99
+
+
+def pack_scene_params_host(
+    time_step, base_seed, eye_pt, light_pt, light_color, ambient,
+    world, world_i, world_view_proj, world_view_proj_i, screen_to_world,
+    num_samples, num_light_samples, visibility_mask,
+) -> np.ndarray:
+    """Flatten all per-frame scalars/matrices into ONE f32 array (host side).
+
+    The per-frame host->device upload then costs a single transfer instead of
+    ~14 small ones -- the analog of the reference's single mapped CB write
+    per frame (Fluid.cpp:288-321).  Integer fields ride as exact small
+    floats.
+    """
+    out = np.empty(_PACKED_SIZE, np.float32)
+    out[0] = time_step
+    out[1] = float(int(base_seed) % (1 << 24))
+    out[2:5] = eye_pt
+    out[5:8] = light_pt
+    out[8:12] = light_color
+    out[12:16] = ambient
+    out[16:32] = np.asarray(world, np.float32).ravel()
+    out[32:48] = np.asarray(world_i, np.float32).ravel()
+    out[48:64] = np.asarray(world_view_proj, np.float32).ravel()
+    out[64:80] = np.asarray(world_view_proj_i, np.float32).ravel()
+    out[80:96] = np.asarray(screen_to_world, np.float32).ravel()
+    out[96] = float(num_samples)
+    out[97] = float(num_light_samples)
+    out[98] = float(visibility_mask)
+    return out
+
+
+def unpack_scene_params(flat: jax.Array) -> SceneParams:
+    """In-graph inverse of pack_scene_params_host."""
+    return SceneParams(
+        time_step=flat[0],
+        base_seed=flat[1].astype(jnp.uint32),
+        eye_pt=flat[2:5],
+        light_pt=flat[5:8],
+        light_color=flat[8:12],
+        ambient=flat[12:16],
+        world=flat[16:32].reshape(4, 4),
+        world_i=flat[32:48].reshape(4, 4),
+        world_view_proj=flat[48:64].reshape(4, 4),
+        world_view_proj_i=flat[64:80].reshape(4, 4),
+        screen_to_world=flat[80:96].reshape(4, 4),
+        num_samples=flat[96].astype(jnp.int32),
+        num_light_samples=flat[97].astype(jnp.int32),
+        visibility_mask=flat[98].astype(jnp.int32),
+    )
+
+
 def default_scene_params(config: FluidConfig) -> SceneParams:
     """Host-side convenience: identity matrices, default light, full visibility."""
     eye = np.zeros(3, np.float32)

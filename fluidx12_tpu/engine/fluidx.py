@@ -25,7 +25,13 @@ from fluidx12_tpu.core import math3d as m3
 from fluidx12_tpu.core.camera import OrbitCamera
 from fluidx12_tpu.core.config import FluidConfig, RenderMethod
 from fluidx12_tpu.core.lod import estimate_cube_map_lod, gen_visibility_mask
-from fluidx12_tpu.core.state import FluidState, SceneParams, make_initial_state
+from fluidx12_tpu.core.state import (
+    FluidState,
+    SceneParams,
+    make_initial_state,
+    pack_scene_params_host,
+    unpack_scene_params,
+)
 from fluidx12_tpu.gi.sh import project_cubemap_sh
 from fluidx12_tpu.render.cubemap import ray_march_cube
 from fluidx12_tpu.render.environment import render_environment
@@ -72,7 +78,7 @@ class FluidXEngine:
     # Host-side per-frame update (the CB upload analog)
     # ------------------------------------------------------------------
     def update_frame(self) -> Tuple[SceneParams, int]:
-        """Compute SceneParams + cube-map LOD from the camera; ref Fluid::UpdateFrame."""
+        """Compute packed per-frame params + cube-map LOD; ref Fluid::UpdateFrame."""
         cfg = self.config
         dt = 0.0 if self.is_paused else cfg.time_step
         wvp = self.world @ self.camera.view_proj
@@ -88,23 +94,18 @@ class FluidXEngine:
             )
             mask = gen_visibility_mask(self.world_i, self.camera.eye)
 
-        params = SceneParams(
-            time_step=jnp.float32(dt),
-            base_seed=jnp.uint32(np.random.randint(0, 2**31)),
-            eye_pt=jnp.asarray(self.camera.eye, jnp.float32),
-            light_pt=jnp.asarray(np.array(cfg.light_pos, np.float32)),
-            light_color=jnp.asarray(np.array(cfg.light_color, np.float32)),
-            ambient=jnp.asarray(np.array(cfg.ambient, np.float32)),
-            world=jnp.asarray(self.world),
-            world_i=jnp.asarray(self.world_i),
-            world_view_proj=jnp.asarray(wvp),
-            world_view_proj_i=jnp.asarray(wvp_i),
-            screen_to_world=jnp.asarray(screen_to_world),
-            num_samples=jnp.int32(ray_samples),
-            num_light_samples=jnp.int32(cfg.max_light_samples),
-            visibility_mask=jnp.int32(mask),
+        # One packed f32 array = one host->device transfer per frame (the
+        # analog of the reference's single CB upload, Fluid.cpp:288-321).
+        flat = pack_scene_params_host(
+            dt, np.random.randint(0, 2**24),
+            np.asarray(self.camera.eye, np.float32),
+            np.array(cfg.light_pos, np.float32),
+            np.array(cfg.light_color, np.float32),
+            np.array(cfg.ambient, np.float32),
+            self.world, self.world_i, wvp, wvp_i, screen_to_world,
+            ray_samples, cfg.max_light_samples, mask,
         )
-        return params, lod
+        return jnp.asarray(flat), lod
 
     # ------------------------------------------------------------------
     # Device-side fused step (jitted per method x lod)
@@ -113,8 +114,9 @@ class FluidXEngine:
         cfg = self.config
         has_probe = self.sh_coeffs is not None
 
-        def step_and_render(state: FluidState, params: SceneParams,
+        def step_and_render(state: FluidState, packed_params,
                             sh_coeffs, radiance):
+            params = unpack_scene_params(packed_params)
             state = simulate(state, params.time_step, cfg)
             grid = state.color
 

@@ -45,8 +45,11 @@ def profile_passes(engine, reps: int = 5) -> Dict[str, float]:
     from fluidx12_tpu.sim.advect_fast import advect_fast
     from fluidx12_tpu.sim.project import project
 
+    from fluidx12_tpu.core.state import unpack_scene_params
+
     cfg = engine.config
-    params, lod = engine.update_frame()
+    packed, lod = engine.update_frame()
+    params = unpack_scene_params(packed)
     state = engine.state
     out: Dict[str, float] = {}
 

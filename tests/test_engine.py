@@ -120,15 +120,17 @@ def test_camera_orbit_changes_visible_faces_and_image():
                       max_ray_samples=8, max_light_samples=4, num_pressure_iters=4)
     engine = FluidXEngine(cfg)
     loop = FrameLoop(engine, show_fps=False)
+    from fluidx12_tpu.core.state import unpack_scene_params
+
     img_front = loop.run(10).astype(int)
-    params0, lod0 = engine.update_frame()
-    mask0 = int(np.asarray(params0.visibility_mask))
+    packed0, lod0 = engine.update_frame()
+    mask0 = int(np.asarray(unpack_scene_params(packed0).visibility_mask))
 
     # Orbit half way around: different faces become visible, image changes.
     engine.camera.orbit(engine.camera.width * 0.5, 0.0)
     img_side = loop.run(2).astype(int)
-    params1, lod1 = engine.update_frame()
-    mask1 = int(np.asarray(params1.visibility_mask))
+    packed1, lod1 = engine.update_frame()
+    mask1 = int(np.asarray(unpack_scene_params(packed1).visibility_mask))
     assert mask0 != mask1
     # Most pixels are background; a small but nonzero mean shift proves the
     # view actually rotated.
@@ -145,5 +147,6 @@ def test_camera_dolly_out_raises_lod():
     _, lod_far = engine.update_frame()
     assert lod_far > lod_near
     # The LOD-clamped sample count also shrinks.
-    params, _ = engine.update_frame()
-    assert int(np.asarray(params.num_samples)) < cfg.max_ray_samples
+    from fluidx12_tpu.core.state import unpack_scene_params as _unpack
+    packed, _ = engine.update_frame()
+    assert int(np.asarray(_unpack(packed).num_samples)) < cfg.max_ray_samples

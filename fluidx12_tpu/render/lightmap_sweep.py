@@ -92,9 +92,22 @@ def directional_transmittance(
     # Order slices so index 0 is nearest the light.
     dens_o = jnp.where(sign_pos, dens[::-1], dens)
 
-    n_a = dens.shape[1]
-    n_b = dens.shape[2]
-    step_m_local = 2.0 / n_m
+    # Cap sweep slices at 2x the light-sample budget (the reference uses at
+    # most max_light_samples = 64 shadow samples per ray; the sweep's native
+    # resolution would exceed that spec on large grids for no visual gain).
+    stride = max(-(-n_m // 128), 1)
+    if stride > 1:
+        n_s = n_m // stride
+        dens_o = dens_o[: n_s * stride].reshape(
+            n_s, stride, dens_o.shape[1], dens_o.shape[2]
+        ).mean(axis=1)
+        n_m_sw = n_s
+    else:
+        n_m_sw = n_m
+
+    n_a = dens_o.shape[1]
+    n_b = dens_o.shape[2]
+    step_m_local = 2.0 * stride / n_m
     abs_lm = jnp.maximum(jnp.abs(l_m), 0.35)  # major axis => >= 1/sqrt(3)
     # Lateral slope per slice step, in voxels of each remaining dim.  The
     # ray from slice k toward the light crosses slice j (< k) at lateral
@@ -119,7 +132,7 @@ def directional_transmittance(
     pad_a = jnp.where(slope_a < 0, jnp.asarray(n_a, dtype), 0.0)
     pad_b = jnp.where(slope_b < 0, jnp.asarray(n_b, dtype), 0.0)
 
-    k = jnp.arange(n_m, dtype=dtype)
+    k = jnp.arange(n_m_sw, dtype=dtype)
 
     wa = jnp.arange(W_a, dtype=dtype)
     wb = jnp.arange(W_b, dtype=dtype)
@@ -146,6 +159,14 @@ def directional_transmittance(
     log_t = jnp.einsum("kbv,kav->kab", uw_b, out)
 
     transm = jnp.exp(jnp.minimum(log_t, 0.0))
+    if stride > 1:
+        # Back to full slice resolution: piecewise-constant within a pooled
+        # group (the shadow is an integral quantity; banding is sub-visual
+        # at these strides).
+        transm = jnp.repeat(transm, stride, axis=0)
+        if transm.shape[0] < n_m:
+            pad = n_m - transm.shape[0]
+            transm = jnp.concatenate([transm, jnp.repeat(transm[-1:], pad, axis=0)], axis=0)
     transm = jnp.where(sign_pos, transm[::-1], transm)
     return jnp.moveaxis(transm, 0, arr_axis)
 

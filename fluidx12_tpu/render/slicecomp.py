@@ -103,8 +103,15 @@ def _march_face(
     e_u = local_eye[ua]
     e_v = local_eye[va]
 
+    # Cap the number of marched slices at the configured ray-sample budget
+    # (the reference clamps view rays to max_ray_samples, FluidX12.cpp:38;
+    # marching more slices than that oversamples beyond its own spec).  The
+    # bulk resample is O(slices * R * N^2), so this bounds large grids.
+    stride = max(-(-n_m // config.max_ray_samples), 1)
+    n_s = n_m // stride
+
     # Slice coordinates along the axis, ordered from the eye toward the face.
-    cell = ((jnp.arange(n_m, dtype=dtype) + 0.5) / n_m) * 2.0 - 1.0
+    cell = ((jnp.arange(n_s, dtype=dtype) * stride + 0.5 * stride) / n_m) * 2.0 - 1.0
     slice_pos = cell if sign > 0 else cell[::-1]
 
     # Bring the slice axis to the front of the volume: (7, n_m, V, U).
@@ -112,6 +119,12 @@ def _march_face(
     volf = jnp.moveaxis(vol, arr_axis, 1)
     if sign < 0:
         volf = volf[:, ::-1]
+    if stride > 1:
+        # Box-average stride groups: the marched sample represents the
+        # group's mean density/color (midpoint-rule integration).
+        volf = volf[:, : n_s * stride].reshape(
+            volf.shape[0], n_s, stride, volf.shape[2], volf.shape[3]
+        ).mean(axis=2)
     rem = [a for a in (1, 2, 3) if a != arr_axis]
     arr_to_local = {1: 2, 2: 1, 3: 0}
     rem_local = [arr_to_local[a] for a in rem]
@@ -151,7 +164,7 @@ def _march_face(
     rd = tex_pos - local_eye
     rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
     dm = jnp.abs(rd[..., axis])
-    step_len = (2.0 / n_m) / jnp.maximum(dm, 1e-4)  # (R, R)
+    step_len = (2.0 * stride / n_m) / jnp.maximum(dm, 1e-4)  # (R, R)
 
     ref_step = MAX_DIST / num_samples.astype(dtype)
     n_steps = step_len / ref_step

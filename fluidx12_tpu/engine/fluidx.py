@@ -123,9 +123,17 @@ class FluidXEngine:
             if not cfg.is_3d:
                 rgba = visualize_color_2d(grid, cfg)
             else:
-                fast = cfg.fast_render and method.separate_light_pass
+                # Fast rendering covers both cube-map methods: with the
+                # sweep, per-sample shadows (merged) and the precomputed
+                # light map (separate) coincide at full volume resolution,
+                # so the merged method rides the same fast pipeline.
+                # Faithful paths keep the reference's distinction
+                # (fast_render=False).
+                fast = cfg.fast_render and (
+                    method.separate_light_pass or method.uses_cube_map
+                )
                 light_map = None
-                if method.separate_light_pass:
+                if method.separate_light_pass or (fast and method.uses_cube_map):
                     if fast:
                         light_map = render_light_map_fast(grid, params, cfg, sh_coeffs)
                     else:

@@ -115,19 +115,15 @@ def project(
     is_3d = config.is_3d
     rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
 
-    # The Pallas slab-blocked solver needs enough z-planes for its halos and
-    # a sweep count divisible by its inner blocking.
-    use_pallas = (
-        config.use_pallas
-        and config.pallas_jacobi
-        and jax.default_backend() == "tpu"  # CPU runs the XLA twin
-        and is_3d
-        and config.zyx[0] >= 32
-        # The slab kernel holds (slab + 2*inner) full planes in VMEM; planes
-        # beyond 128^2 blow Mosaic's scoped-VMEM stack.
-        and config.zyx[1] * config.zyx[2] <= 128 * 128
-        and config.num_pressure_iters % 8 == 0
-    )
+    if config.use_pallas and config.pallas_jacobi and is_3d:
+        from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas_supported
+
+        use_pallas = (
+            jax.default_backend() == "tpu"  # CPU runs the XLA twin
+            and jacobi_pallas_supported(config.zyx, config.num_pressure_iters)
+        )
+    else:
+        use_pallas = False
 
     def run(args):
         vel, q = args

@@ -65,3 +65,13 @@ def test_advect_backtrace_pallas_z_kernel():
     ref = np.asarray(_backtrace_split(both, dt, cfg))
     got = np.asarray(backtrace_pallas(both, dt, cfg))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_jacobi_pallas_ytiled_matches_xla():
+    """Planes > 128x128 engage the y-strip tiling path."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((32, 256, 128)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((32, 256, 128)).astype(np.float32))
+    ref = np.asarray(jacobi_sweeps(q, b, 8, True))
+    got = np.asarray(jacobi_pallas(q, b, 8))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

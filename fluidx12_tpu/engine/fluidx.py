@@ -27,7 +27,6 @@ from fluidx12_tpu.core.config import FluidConfig, RenderMethod
 from fluidx12_tpu.core.lod import estimate_cube_map_lod, gen_visibility_mask
 from fluidx12_tpu.core.state import (
     FluidState,
-    SceneParams,
     make_initial_state,
     pack_scene_params_host,
     unpack_scene_params,
@@ -77,7 +76,7 @@ class FluidXEngine:
     # ------------------------------------------------------------------
     # Host-side per-frame update (the CB upload analog)
     # ------------------------------------------------------------------
-    def update_frame(self) -> Tuple[SceneParams, int]:
+    def update_frame(self) -> Tuple[jax.Array, int]:
         """Compute packed per-frame params + cube-map LOD; ref Fluid::UpdateFrame."""
         cfg = self.config
         dt = 0.0 if self.is_paused else cfg.time_step

@@ -162,3 +162,27 @@ def test_fast_sim_stays_stable_long_run():
     assert c.min() >= 0.0 and c.max() <= 1.0
     assert c[3].max() > 0.05
     assert np.abs(v).max() < 50.0
+
+
+def test_fast_merged_equals_fast_separate():
+    """With fast_render, RAY_MARCH_MERGED and RAY_MARCH_SEPARATE share the
+    sweep-lit pipeline and must produce identical frames."""
+    import jax
+    from fluidx12_tpu.core.config import RenderMethod
+    from fluidx12_tpu.models import SmokeModel
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(24, 24),
+                      max_ray_samples=8, max_light_samples=4,
+                      num_pressure_iters=4)
+    imgs = {}
+    for method in (RenderMethod.RAY_MARCH_MERGED, RenderMethod.RAY_MARCH_SEPARATE):
+        model = SmokeModel(cfg, method=method)
+        state = model.init()
+        params = model.default_params()
+        step = jax.jit(model.step, donate_argnums=(0,))
+        for _ in range(8):
+            state, img = step(state, params)
+        imgs[method] = np.asarray(img)
+    np.testing.assert_allclose(
+        imgs[RenderMethod.RAY_MARCH_MERGED],
+        imgs[RenderMethod.RAY_MARCH_SEPARATE], atol=1e-6)

@@ -60,9 +60,12 @@ def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int, halo: int,
     size_z = slab + 2 * halo
     size_y = min(ytile + 2 * halo, ny)
 
-    # Halo'd windows, shifted (not shrunk) to stay in bounds.
+    # Halo'd windows, shifted (not shrunk) to stay in bounds.  Y offsets are
+    # multiples of the 8-row sublane tiling (ytile and halo are); the hint
+    # lets Mosaic prove the DMA slices are tile-aligned.  Z (dim 0) has no
+    # tiling constraint.
     lo_z = jnp.clip(z0 - halo, 0, nz - size_z)
-    lo_y = jnp.clip(y0 - halo, 0, ny - size_y)
+    lo_y = pl.multiple_of(jnp.clip(y0 - halo, 0, ny - size_y), 8)
 
     def body(q_buf, b_buf, sem_q, sem_b, sem_o):
         cp_q = pltpu.make_async_copy(
@@ -98,8 +101,10 @@ def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int, halo: int,
         q_buf[...] = q
 
         cp_o = pltpu.make_async_copy(
-            q_buf.at[pl.ds(z0 - lo_z, slab), pl.ds(y0 - lo_y, ytile)],
-            out_hbm.at[pl.ds(z0, slab), pl.ds(y0, ytile)],
+            q_buf.at[pl.ds(z0 - lo_z, slab),
+                     pl.ds(pl.multiple_of(y0 - lo_y, 8), ytile)],
+            out_hbm.at[pl.ds(z0, slab),
+                       pl.ds(pl.multiple_of(y0, 8), ytile)],
             sem_o,
         )
         cp_o.start()

@@ -62,3 +62,35 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_render_matches_single_device_image():
+    import jax.numpy as jnp
+    import dataclasses
+    from fluidx12_tpu.core.config import FluidConfig
+    from fluidx12_tpu.models import SmokeModel
+    from fluidx12_tpu.parallel.render import sharded_render_frame
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(32, 32),
+                      max_ray_samples=8, max_light_samples=4,
+                      num_pressure_iters=4, use_pallas=False)
+    model = SmokeModel(cfg)
+    state = model.init()
+    params = model.default_params()
+    step = jax.jit(model.step, donate_argnums=(0,))
+    for _ in range(8):
+        state, img_single = step(state, params)
+
+    mesh = make_grid_mesh()
+    grid = jax.device_put(state.color)
+    img_sharded = sharded_render_frame(grid, params, cfg, mesh)
+    # sharded_render_frame returns the premultiplied RGBA resolve; compare
+    # against the single-device fast pipeline's resolve of the same state.
+    from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
+    from fluidx12_tpu.render.resolve import resolve_cube
+    from fluidx12_tpu.render.slicecomp import ray_march_cube_fast
+    lm = render_light_map_fast(state.color, params, cfg)
+    cube = ray_march_cube_fast(state.color, params, cfg, lm)
+    ref = resolve_cube(cube, params, cfg)
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(ref), atol=2e-5)

@@ -101,11 +101,15 @@ def cube_cast(
     vt = v * size - 0.5
 
     # Record table: records[f, i, j] = texels (i, j), (i, j+1), (i+1, j),
-    # (i+1, j+1), edge-clamped, 4*c contiguous floats.
-    right = jnp.concatenate([cube[:, :, 1:], cube[:, :, -1:]], axis=2)
-    down = jnp.concatenate([cube[:, 1:], cube[:, -1:]], axis=1)
+    # (i+1, j+1), edge-clamped, 4*c contiguous values.  bf16 storage halves
+    # the gathered bytes and is lossless here: the marched cube map is
+    # 8-bit-quantized (quantize_cube_map), well within bf16's mantissa.
+    rec_dtype = jnp.bfloat16 if cube.shape[1] >= 64 else cube.dtype
+    cb = cube.astype(rec_dtype)
+    right = jnp.concatenate([cb[:, :, 1:], cb[:, :, -1:]], axis=2)
+    down = jnp.concatenate([cb[:, 1:], cb[:, -1:]], axis=1)
     down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
-    records = jnp.concatenate([cube, right, down, down_right], axis=-1)
+    records = jnp.concatenate([cb, right, down, down_right], axis=-1)
     records = records.reshape(6 * size * size, 4 * c)
 
     u0 = jnp.clip(jnp.floor(ut).astype(jnp.int32), 0, size - 2)

@@ -54,6 +54,10 @@ def _resample_axis(q: jax.Array, d: jax.Array, axis: int) -> jax.Array:
     def bc(m):
         return m[None] if q.ndim == d.ndim + 1 else m
 
+    # Unrolled static-shift taps: static pltpu.roll is ~2x faster than the
+    # dynamic-shift fori_loop form (measured 5.7 vs 12 ms at 128^3); the
+    # price is that every tap temporary stays live on the scoped-VMEM stack,
+    # so blocks must stay small (see _BLOCK_BUDGET_ELEMS).
     out = jnp.zeros_like(q)
     for a in range(-MAX_DISP, MAX_DISP + 2):
         w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)

@@ -150,8 +150,15 @@ def _march_face(
     wv = _interp_weights(coords(v_line, e_v, n_v, vs), n_v)  # (n_m, R, n_v)
 
     # Bulk separable resample on the MXU: (7, n_m, n_v, n_u) -> (7, n_m, R, R).
-    t1 = jnp.einsum("mrv,cmvu->cmru", wv, volf)
-    res = jnp.einsum("msu,cmru->cmrs", wu, t1)
+    # bf16 inputs with f32 accumulation double MXU throughput; inputs are
+    # smooth imagery (densities/colors/light) where bf16's 8-bit mantissa is
+    # below the 8-bit output quantization.
+    t1 = jnp.einsum("mrv,cmvu->cmru", wv.astype(jnp.bfloat16),
+                    volf.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    res = jnp.einsum("msu,cmru->cmrs", wu.astype(jnp.bfloat16),
+                     t1.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
 
     color = res[:4]   # (4, n_m, R, R)
     light = res[4:]   # (3, n_m, R, R)

@@ -69,19 +69,26 @@ def _resample_axis(q: jax.Array, d: jax.Array, axis: int) -> jax.Array:
 
 
 def _pass_kernel(vol_ref, d_ref, out_ref, *, axis: int):
-    """One resample pass over a (1, slab, A, B) channel block; d (slab, A, B)."""
-    q = vol_ref[0]
-    d = d_ref[...]
-    out_ref[0] = _resample_axis(q, d, axis=axis - 1)
+    """One resample pass over a (C, slab, A, B) block; d (slab, A, B).
+
+    All channels ride in one block: the tap weights depend only on the
+    displacement, so evaluating them once per tap (instead of once per
+    channel per tap, the earlier per-channel-grid form) cuts ~1/3 of the
+    VPU work -- _resample_axis broadcasts the (slab, A, B) weights over C.
+    """
+    out_ref[...] = _resample_axis(vol_ref[...], d_ref[...], axis=axis)
 
 
 # Per-tap temporaries stay live on Mosaic's 16 MB scoped-VMEM stack, so the
-# block must satisfy ~26 * block_bytes well under it.  256 KB blocks keep the
-# tap set ~7 MB.
-_BLOCK_BUDGET_ELEMS = 64 * 1024  # f32 elements per block (256 KB)
+# block must satisfy ~26 * block_bytes well under it.  256 KB per-channel
+# blocks keep the tap set ~7 MB; all-channel blocks may go up to 460 KB
+# (taps ~12 MB) because the weight amortization is worth the tighter fit.
+_BLOCK_BUDGET_ELEMS = 64 * 1024       # f32 elements per block (256 KB)
+_CBLOCK_BUDGET_ELEMS = 115 * 1024     # budget when all channels share a block
 
 
-def _pick_tiles(z: int, lat: int, res: int, gran: int):
+def _pick_tiles(z: int, lat: int, res: int, gran: int,
+                budget: int = _BLOCK_BUDGET_ELEMS):
     """Choose (slab_z, lat_tile) so slab*lat_tile*res fits the budget.
 
     `lat` is the tileable lateral dim (not resampled; tiles must stay a
@@ -90,14 +97,14 @@ def _pick_tiles(z: int, lat: int, res: int, gran: int):
     no valid tiling exists.
     """
     lat_tile = lat
-    while (lat_tile * res > _BLOCK_BUDGET_ELEMS
+    while (lat_tile * res > budget
            and lat_tile % 2 == 0 and lat_tile // 2 >= gran
            and lat_tile // 2 % gran == 0):
         lat_tile //= 2
-    if lat % lat_tile or lat_tile * res > _BLOCK_BUDGET_ELEMS:
+    if lat % lat_tile or lat_tile * res > budget:
         return None
-    slab = max(_BLOCK_BUDGET_ELEMS // (lat_tile * res), 1)
-    while slab > 1 and (z % slab or slab * lat_tile * res > _BLOCK_BUDGET_ELEMS):
+    slab = max(budget // (lat_tile * res), 1)
+    while slab > 1 and (z % slab or slab * lat_tile * res > budget):
         slab //= 2
     if z % slab:
         return None
@@ -109,37 +116,47 @@ def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, interpret: bool):
     sublanes, tile B) or 3 (resample lanes, tile A).  Returns None when no
     valid tiling exists (caller falls back to XLA)."""
     c, z, a, b = vol.shape
-    if axis == 3:
-        tiles = _pick_tiles(z, a, b, gran=8)   # tile the sublane dim
+    lat, res, gran = (a, b, 8) if axis == 3 else (b, a, 128)
+    for c_blk in (c, 1) if c > 1 else (1,):
+        budget = _CBLOCK_BUDGET_ELEMS if c_blk > 1 else _BLOCK_BUDGET_ELEMS
+        tiles = _pick_tiles(z, lat, res * c_blk, gran, budget)
         if tiles is None:
-            return None
-        slab, a_t = tiles
-        block = (1, slab, a_t, b)
-        grid = (c, z // slab, a // a_t)
-        vol_map = lambda ci, zi, li: (ci, zi, li, 0)
-        d_map = lambda ci, zi, li: (zi, li, 0)
-        d_block = (slab, a_t, b)
-    else:
-        tiles = _pick_tiles(z, b, a, gran=128)  # tile the lane dim
-        if tiles is None:
-            return None
-        slab, b_t = tiles
-        block = (1, slab, a, b_t)
-        grid = (c, z // slab, b // b_t)
-        vol_map = lambda ci, zi, li: (ci, zi, 0, li)
-        d_map = lambda ci, zi, li: (zi, 0, li)
-        d_block = (slab, a, b_t)
-    return pl.pallas_call(
-        functools.partial(_pass_kernel, axis=axis),
-        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(d_block, d_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(vol, disp)
+            continue
+        slab, lat_t = tiles
+        if axis == 3:
+            block = (c_blk, slab, lat_t, b)
+            d_block = (slab, lat_t, b)
+        else:
+            block = (c_blk, slab, a, lat_t)
+            d_block = (slab, a, lat_t)
+        if c_blk > 1:
+            grid = (z // slab, lat // lat_t)
+            if axis == 3:
+                vol_map = lambda zi, li: (0, zi, li, 0)
+                d_map = lambda zi, li: (zi, li, 0)
+            else:
+                vol_map = lambda zi, li: (0, zi, 0, li)
+                d_map = lambda zi, li: (zi, 0, li)
+        else:
+            grid = (c, z // slab, lat // lat_t)
+            if axis == 3:
+                vol_map = lambda ci, zi, li: (ci, zi, li, 0)
+                d_map = lambda ci, zi, li: (zi, li, 0)
+            else:
+                vol_map = lambda ci, zi, li: (ci, zi, 0, li)
+                d_map = lambda ci, zi, li: (zi, 0, li)
+        return pl.pallas_call(
+            functools.partial(_pass_kernel, axis=axis),
+            out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec(d_block, d_map, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(vol, disp)
+    return None
 
 
 def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:

@@ -101,9 +101,11 @@ def cube_cast(
     vt = v * size - 0.5
 
     # Record table: records[f, i, j] = texels (i, j), (i, j+1), (i+1, j),
-    # (i+1, j+1), edge-clamped, 4*c contiguous values.  bf16 storage halves
-    # the gathered bytes and is lossless here: the marched cube map is
-    # 8-bit-quantized (quantize_cube_map), well within bf16's mantissa.
+    # (i+1, j+1), edge-clamped, 4*c contiguous values.  bf16 storage is
+    # lossless here (the marched cube map is 8-bit-quantized,
+    # quantize_cube_map).  Measured: the row-gather cost is per *row*, not
+    # per element (f32/bf16/uint32-packed records all time within 2% at
+    # 800^2), so the encoding is chosen for accuracy, not width.
     rec_dtype = jnp.bfloat16 if cube.shape[1] >= 64 else cube.dtype
     cb = cube.astype(rec_dtype)
     right = jnp.concatenate([cb[:, :, 1:], cb[:, :, -1:]], axis=2)

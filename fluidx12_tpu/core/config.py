@@ -114,6 +114,14 @@ class FluidConfig:
     # Use the dense-shift dimensional-split advection instead of the
     # gather-based trilinear backtrace (sim/advect_fast.py).
     fast_sim: bool = True
+    # EXPERIMENTAL: resolve the cube map with one record gather per 2x2
+    # pixel block (render/resolve.py::cube_cast_blocked).  The raw gather is
+    # 2.5x cheaper (160k x 64-elem rows vs 640k x 16: 0.98 vs 2.56 ms at
+    # 800^2), but the layout shuffling around it (pixel de/re-interleave,
+    # per-slot planes) costs more than the gather saves on current XLA:TPU
+    # (measured 2.0 -> 11+ ms composed).  Kept off; the math is exact on
+    # interior blocks and cross-checked in tests/test_render.py.
+    block_resolve: bool = False
     # Sub-steps of the split backtrace (error ~ (CFL/n)^2 per sub-step).
     advect_substeps: int = 1
 

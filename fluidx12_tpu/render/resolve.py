@@ -133,6 +133,158 @@ def cube_cast(
     return top + (bot - top) * fv
 
 
+def _pad_cube_seamless(cube: jax.Array, pad: int = 2) -> jax.Array:
+    """Extend each face by `pad` texels of cube-adjacent content.
+
+    Border texels are filled by *directionally* sampling the cube at the
+    extrapolated texel centers (the gnomonic continuation of the face past
+    its edge lands on the adjacent face) -- the standard seamless-cube-map
+    unfold that cube hardware performs in TextureCube filtering.
+    """
+    from fluidx12_tpu.ops.cubemap import face_uv_to_direction, sample_cube_bilinear
+
+    size = cube.shape[1]
+    dtype = cube.dtype
+    t = ((jnp.arange(size + 2 * pad, dtype=dtype) + 0.5 - pad) / size) * 2.0 - 1.0
+
+    def strip(rows, cols):
+        pv, pu = jnp.meshgrid(-t[rows], t[cols], indexing="ij")
+        dirs = jnp.stack(
+            [face_uv_to_direction(f, pu, pv) for f in range(6)], axis=0)
+        return sample_cube_bilinear(cube, dirs)
+
+    top = strip(slice(0, pad), slice(None))                     # (6, p, S+2p, c)
+    bottom = strip(slice(size + pad, None), slice(None))
+    left = strip(slice(pad, size + pad), slice(0, pad))         # (6, S, p, c)
+    right = strip(slice(pad, size + pad), slice(size + pad, None))
+    mid = jnp.concatenate([left, cube, right], axis=2)
+    return jnp.concatenate([top, mid, bottom], axis=1)
+
+
+def cube_cast_blocked(
+    cube: jax.Array,
+    face: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    hit_pos: jax.Array,
+    is_hit: jax.Array,
+) -> jax.Array:
+    """AA filtered fetch with one gather per 2x2 pixel block (EXPERIMENTAL).
+
+    Same contract as cube_cast, exploiting the measured TPU gather cost
+    model: a row gather costs ~the same for 16..128-element rows, so one
+    64-element row (a 4x4-texel RGBA window) per 2x2 pixel *block* fetches
+    everything its four pixels' bilinear footprints need for ~2.5x less
+    gather time (0.98 ms vs 2.56 ms at 800^2/128).  In practice the
+    surrounding layout work (strided pixel de-interleave, slot re-interleave,
+    weight synthesis) costs more than the gather saves on current XLA:TPU,
+    so config.block_resolve defaults to False; kept as the reference
+    implementation of the technique + its quality contract (exact on
+    same-face blocks, seamless-unfold at cube seams).
+
+    - Records are 4x4 windows of the seamlessly *padded* faces, so a block
+      whose pixels straddle a cube edge still resolves: off-face pixels
+      address the window through the gnomonic continuation of the anchor
+      face (exactly the unfold the padding was built with).
+    - Pixels on the anchor face use the same texel coordinates as
+      cube_cast (LINEAR_CLAMP at face borders, the reference's
+      exterior-edge collapse, PSCube.hlsli:41-58) and reproduce it exactly
+      whenever their footprint fits the shared window -- interior blocks,
+      i.e. everything but a thin band at extreme grazing angles.
+    """
+    size = cube.shape[1]
+    c = cube.shape[-1]
+    h, w = face.shape
+    dtype = u.dtype
+
+    # TPU layout rule driving every shape below: arrays are tiled on their
+    # last two dims (8 sublanes x 128 lanes), so a materialized array with a
+    # tiny trailing dim pads up to 64x.  The first draft of this kernel used
+    # (Hb, 2, Wb, 2) pixel blocks and (.., 4, 4, c) windows and ran 6x
+    # *slower* than the per-pixel gather purely from tile padding.  Hence:
+    # per-slot (Hb, Wb) planes, flat (P, 64) records, matmul reduction.
+    padded = _pad_cube_seamless(cube, pad=2).astype(
+        jnp.bfloat16 if size >= 64 else cube.dtype)
+    # records[(f, av, au), (i*4 + j)*c + ch] = padded window covering face
+    # texels (av-2 .. av+1) x (au-2 .. au+1).
+    recs = jnp.concatenate(
+        [padded[:, i : i + size, j : j + size] for i in range(4) for j in range(4)],
+        axis=-1,
+    ).reshape(6 * size * size, 16 * c)
+
+    def slots(x):
+        # (H, W) -> four (Hb, Wb) planes, pixel slot (qi, qj) of each block.
+        return [x[qi::2, qj::2] for qi in (0, 1) for qj in (0, 1)]
+
+    f_s = slots(face)
+    hit_s = slots(jnp.asarray(is_hit))
+    # Anchor face per block: the first hit pixel's exit face.
+    f0 = f_s[0]
+    got = hit_s[0]
+    for q in range(1, 4):
+        f0 = jnp.where(~got & hit_s[q], f_s[q], f0)
+        got = got | hit_s[q]
+    plane0 = f0 >> 1
+    sign0 = jnp.where((f0 & 1) == 0, 1.0, -1.0).astype(dtype)
+
+    hx = slots(hit_pos[..., 0])
+    hy = slots(hit_pos[..., 1])
+    hz = slots(hit_pos[..., 2])
+    u_s = slots(u)
+    v_s = slots(v)
+
+    tu_s, tv_s = [], []
+    for q in range(4):
+        # Extended (gnomonic) texel coords w.r.t. the anchor face: normalize
+        # the hit point by its anchor-axis coordinate, then apply the anchor
+        # face's uv formulas (the same products as _cube_texcoord; exact when
+        # the pixel lies on the anchor face, where |axis| == 1).
+        axc = jnp.where(plane0 == 0, hx[q], jnp.where(plane0 == 1, hy[q], hz[q]))
+        inv = 1.0 / jnp.where(jnp.abs(axc) < 1e-20, 1e-20, jnp.abs(axc))
+        px, py, pz = hx[q] * inv, hy[q] * inv, hz[q] * inv
+        ue = jnp.where(plane0 == 0, -sign0 * pz,
+                       jnp.where(plane0 == 1, px, sign0 * px))
+        ve = jnp.where(plane0 == 1, -sign0 * pz, py)
+        tu_ext = (ue * 0.5 + 0.5) * size - 0.5
+        tv_ext = (1.0 - (ve * 0.5 + 0.5)) * size - 0.5
+        # Pixels on the anchor face keep cube_cast's own clamped coordinates;
+        # off-face pixels ride the extension, clipped to the padded range.
+        same = f_s[q] == f0
+        tu_s.append(jnp.where(same, jnp.clip(u_s[q] * size - 0.5, 0.0, size - 1.0),
+                              jnp.clip(tu_ext, -1.5, size + 0.5)))
+        tv_s.append(jnp.where(same, jnp.clip(v_s[q] * size - 0.5, 0.0, size - 1.0),
+                              jnp.clip(tv_ext, -1.5, size + 0.5)))
+
+    mu = jnp.minimum(jnp.minimum(tu_s[0], tu_s[1]), jnp.minimum(tu_s[2], tu_s[3]))
+    mv = jnp.minimum(jnp.minimum(tv_s[0], tv_s[1]), jnp.minimum(tv_s[2], tv_s[3]))
+    a_u = jnp.clip(jnp.floor(mu).astype(jnp.int32) + 2, 0, size - 1)
+    a_v = jnp.clip(jnp.floor(mv).astype(jnp.int32) + 2, 0, size - 1)
+    lin = (f0 * size + a_v) * size + a_u
+    fetched = jnp.take(recs, lin.reshape(-1), axis=0).astype(dtype)  # (P, 16c)
+
+    # Static per-lane window/channel ids of the (P, 16c) record rows:
+    # lane l = (i*4 + j)*c + ch.
+    lane = jnp.arange(16 * c, dtype=jnp.int32)
+    i_l = (lane // (4 * c)).astype(dtype)
+    j_l = ((lane // c) % 4).astype(dtype)
+    # Channel-summing matrix: (16c, c), picks every c-th lane.  The matmul is
+    # the lane-dim reduction (a small MXU op); a reshape-and-sum would pad.
+    gmat = (lane[:, None] % c == jnp.arange(c)[None, :]).astype(dtype)
+
+    outs = []
+    for q in range(4):
+        o_u = jnp.clip(tu_s[q] - (a_u - 2).astype(dtype), 0.0, 3.0).reshape(-1)
+        o_v = jnp.clip(tv_s[q] - (a_v - 2).astype(dtype), 0.0, 3.0).reshape(-1)
+        w64 = (jnp.maximum(1.0 - jnp.abs(o_v[:, None] - i_l), 0.0)
+               * jnp.maximum(1.0 - jnp.abs(o_u[:, None] - j_l), 0.0))  # (P, 16c)
+        outs.append(jnp.matmul(fetched * w64, gmat,
+                               precision=jax.lax.Precision.HIGHEST))  # (P, c)
+
+    # Interleave the four slot images back into (H, W, c).
+    out = jnp.stack(outs, axis=0).reshape(2, 2, h // 2, w // 2, c)
+    return out.transpose(2, 0, 3, 1, 4).reshape(h, w, c)
+
+
 def resolve_cube(
     cube: jax.Array,
     params: SceneParams,
@@ -156,7 +308,10 @@ def resolve_cube(
     face, u, v = _cube_texcoord(hit_pos, plane)
     face = jnp.where(is_hit, face, 0)
 
-    rgba = cube_cast(cube.astype(dtype), face, u, v, hit_pos, ray_dir)
+    if config.block_resolve and h % 2 == 0 and w % 2 == 0 and cube.shape[1] >= 8:
+        rgba = cube_cast_blocked(cube.astype(dtype), face, u, v, hit_pos, is_hit)
+    else:
+        rgba = cube_cast(cube.astype(dtype), face, u, v, hit_pos, ray_dir)
     rgba = jnp.where(is_hit[..., None], rgba, 0.0)
     # discard when alpha <= 0 (PSCube.hlsl:26, PSRayCastCube.hlsl:111)
     return jnp.where(rgba[..., 3:4] > 0.0, rgba, 0.0)

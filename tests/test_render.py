@@ -203,3 +203,58 @@ def test_point_light_mode_differs_sensibly():
     assert np.abs(lm_pt - lm_dir).max() > 1e-3
     # Empty corner voxel: full light either way.
     np.testing.assert_allclose(lm_pt[:, 0, 0, 0], lm_dir[:, 0, 0, 0], atol=1e-5)
+
+
+def test_blocked_resolve_matches_per_pixel_cast():
+    # cube_cast_blocked (one record gather per 2x2 pixel block) must equal
+    # cube_cast exactly on blocks whose four pixels share one face, and stay
+    # close in the thin cube-seam band where it blends via the seamless
+    # unfold instead of the per-face edge clamp.
+    import jax
+    from fluidx12_tpu.ops.transform import transform_point_h
+    from fluidx12_tpu.render import resolve as R
+    from fluidx12_tpu.utils.image import quantize_unorm8
+
+    cfg = tiny_config(viewport=(64, 64), quantize_cube_map=True)
+    params = scene(cfg)
+    S = cfg.cube_map_size
+    rng = np.random.default_rng(3)
+    base = rng.random((6, S, S, 4), np.float32)
+    for _ in range(2):  # smooth; faces stay mutually independent (worst case)
+        base = 0.5 * (base + np.roll(base, 1, axis=2))
+    cube = quantize_unorm8(jnp.asarray(base))
+
+    h, w = cfg.viewport[1], cfg.viewport[0]
+    ju = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    jv = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    vv, uu = jnp.meshgrid(jv, ju, indexing="ij")
+    pos = R._texcoord_to_local(params, jnp.stack([uu, vv], axis=-1))
+    eye = transform_point_h(params.eye_pt, params.world_i)[:3]
+    rd = pos - eye
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    hit_pos, plane, is_hit = R._compute_ray_hit(pos, rd)
+    face, u, v = R._cube_texcoord(hit_pos, plane)
+    face = jnp.where(is_hit, face, 0)
+
+    a = np.asarray(R.cube_cast(cube, face, u, v, hit_pos, rd))
+    b = np.asarray(R.cube_cast_blocked(cube, face, u, v, hit_pos, is_hit))
+    hit = np.asarray(is_hit)
+    d = np.abs(a - b).max(axis=-1) * hit
+
+    fb = np.asarray(face).reshape(h // 2, 2, w // 2, 2)
+    hb = hit.reshape(h // 2, 2, w // 2, 2)
+    interior = (fb == fb[:, :1, :, :1]).all(axis=(1, 3)) & hb.all(axis=(1, 3))
+    # Blocks whose bilinear footprints fit the shared 4x4 window: integer
+    # texel spread <= 2 on both axes (beyond that -- extreme grazing
+    # minification -- the window clamps and the result blurs instead of
+    # aliasing).
+    tu = np.floor(np.asarray(u).reshape(h // 2, 2, w // 2, 2) * S - 0.5)
+    tv = np.floor(np.asarray(v).reshape(h // 2, 2, w // 2, 2) * S - 0.5)
+    narrow = interior & (tu.max(axis=(1, 3)) - tu.min(axis=(1, 3)) <= 2) \
+                      & (tv.max(axis=(1, 3)) - tv.min(axis=(1, 3)) <= 2)
+    narrow_px = np.repeat(np.repeat(narrow, 2, 0), 2, 1)
+    assert narrow_px.sum() > 0.5 * hit.sum()
+    assert d[narrow_px].max() <= 1e-5
+    # Seam + grazing bands: bounded deviation on a small fraction of pixels.
+    assert d.max() <= 0.75
+    assert (d > 2 / 255).sum() <= 0.08 * hit.sum()

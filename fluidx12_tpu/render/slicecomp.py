@@ -80,90 +80,103 @@ def _local_from_uv(face_id, u, v, dtype):
     return comps
 
 
+_ARR_AXIS = {0: 3, 1: 2, 2: 1}       # local axis -> (7, Z, Y, X) array dim
+_ARR_TO_LOCAL = {1: 2, 2: 1, 3: 0}   # array dim -> local axis
+
+
+def _axis_volume(vol: jax.Array, axis: int, config: FluidConfig) -> jax.Array:
+    """Slice-axis-major, box-averaged, bf16 view of the volume for one axis.
+
+    (7, Z, Y, X) -> (7, n_s, A, B) with the marching axis first, in natural
+    ascending order.  Built once per axis and shared by the +/- face pair --
+    the volume relayout (not the resampling einsums) dominates the march at
+    large grids, so per-face copies are the thing to avoid.
+
+    The slice count is capped at the configured ray-sample budget (the
+    reference clamps view rays to max_ray_samples, FluidX12.cpp:38); stride
+    groups are box-averaged (midpoint-rule integration).
+    """
+    sizes = (config.grid_size[0], config.grid_size[1], config.grid_size[2])
+    n_m = sizes[axis]
+    stride = max(-(-n_m // config.max_ray_samples), 1)
+    n_s = n_m // stride
+    volf = jnp.moveaxis(vol, _ARR_AXIS[axis], 1)
+    if stride > 1:
+        volf = volf[:, : n_s * stride].reshape(
+            volf.shape[0], n_s, stride, volf.shape[2], volf.shape[3]
+        ).mean(axis=2)
+    return volf.astype(jnp.bfloat16)
+
+
 def _march_face(
     face_id: int,
-    vol: jax.Array,         # (7, Z, Y, X): RGBA grid + RGB light map
+    volf: jax.Array,        # (7, n_s, A, B) from _axis_volume(face's axis)
     local_eye: jax.Array,
     num_samples: jax.Array,
     config: FluidConfig,
     dtype,
 ) -> jax.Array:
-    """March one cube face in bulk; returns (R, R, 4)."""
+    """March one cube face in bulk; returns (R, R, 4).
+
+    Face orientation is folded into cheap per-face work instead of volume
+    copies: the march direction (face sign) picks prefix vs suffix
+    transmittance, lateral signs live in the interpolation weights, and the
+    X faces' swapped lateral order becomes a transpose of the final R x R
+    image (0.8 MB) rather than of the volume.
+    """
     axis, sign, (ua, us), (va, vs) = _FACES[face_id]
     z, y, x = config.zyx
     sizes = (x, y, z)
     n_m = sizes[axis]
+    n_s = volf.shape[1]
+    stride = n_m // n_s
     R = config.cube_map_size
 
     t = ((jnp.arange(R, dtype=dtype) + 0.5) / R) * 2.0 - 1.0
     u_line = t
     v_line = -t
-
     e_m = local_eye[axis]
-    e_u = local_eye[ua]
-    e_v = local_eye[va]
 
-    # Cap the number of marched slices at the configured ray-sample budget
-    # (the reference clamps view rays to max_ray_samples, FluidX12.cpp:38;
-    # marching more slices than that oversamples beyond its own spec).  The
-    # bulk resample is O(slices * R * N^2), so this bounds large grids.
-    stride = max(-(-n_m // config.max_ray_samples), 1)
-    n_s = n_m // stride
-
-    # Slice coordinates along the axis, ordered from the eye toward the face.
+    # Slice coordinates in natural ascending order; parametric position of
+    # each slice along eye->face (s in (0, 1] marks slices in front).
     cell = ((jnp.arange(n_s, dtype=dtype) * stride + 0.5 * stride) / n_m) * 2.0 - 1.0
-    slice_pos = cell if sign > 0 else cell[::-1]
-
-    # Bring the slice axis to the front of the volume: (7, n_m, V, U).
-    arr_axis = {0: 3, 1: 2, 2: 1}[axis]
-    volf = jnp.moveaxis(vol, arr_axis, 1)
-    if sign < 0:
-        volf = volf[:, ::-1]
-    if stride > 1:
-        # Box-average stride groups: the marched sample represents the
-        # group's mean density/color (midpoint-rule integration).
-        volf = volf[:, : n_s * stride].reshape(
-            volf.shape[0], n_s, stride, volf.shape[2], volf.shape[3]
-        ).mean(axis=2)
-    rem = [a for a in (1, 2, 3) if a != arr_axis]
-    arr_to_local = {1: 2, 2: 1, 3: 0}
-    rem_local = [arr_to_local[a] for a in rem]
-    if rem_local != [va, ua]:
-        volf = jnp.swapaxes(volf, 2, 3)
-        rem_local = [rem_local[1], rem_local[0]]
-    assert rem_local == [va, ua], (face_id, rem_local, va, ua)
-    n_v = sizes[va]
-    n_u = sizes[ua]
-
-    # Parametric position of each slice along eye->face (s in (0, 1]).
-    face_target = jnp.asarray(float(sign), dtype)
-    denom = face_target - e_m
+    denom = jnp.asarray(float(sign), dtype) - e_m
     denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
-    s = (slice_pos - e_m) / denom  # (n_m,)
+    s = (cell - e_m) / denom  # (n_s,)
 
-    def coords(q_line, e_q, n_src, unit_sign):
-        # (n_m, R): lateral hit in source texel space per slice and texel.
+    rem_local = [_ARR_TO_LOCAL[a] for a in (1, 2, 3) if a != _ARR_AXIS[axis]]
+    swapped = rem_local == [ua, va]  # X faces: rows resample u, cols v
+
+    def w_for(local_axis):
+        # (n_s, R, n_src) lerp weights resampling one lateral array dim.
+        if local_axis == ua:
+            q_line, e_q, unit_sign = u_line, local_eye[ua], us
+        else:
+            q_line, e_q, unit_sign = v_line, local_eye[va], vs
+        n_src = sizes[local_axis]
         h = e_q + (q_line[None, :] * unit_sign - e_q) * s[:, None]
-        return (h + 1.0) * 0.5 * n_src - 0.5
+        return _interp_weights((h + 1.0) * 0.5 * n_src - 0.5, n_src)
 
-    wu = _interp_weights(coords(u_line, e_u, n_u, us), n_u)  # (n_m, R, n_u)
-    wv = _interp_weights(coords(v_line, e_v, n_v, vs), n_v)  # (n_m, R, n_v)
+    w_rows = w_for(rem_local[0])  # resamples volf dim 2
+    w_cols = w_for(rem_local[1])  # resamples volf dim 3
 
-    # Bulk separable resample on the MXU: (7, n_m, n_v, n_u) -> (7, n_m, R, R).
+    # Bulk separable resample on the MXU: (7, n_s, A, B) -> (7, n_s, R, R).
     # bf16 inputs with f32 accumulation double MXU throughput; inputs are
     # smooth imagery (densities/colors/light) where bf16's 8-bit mantissa is
     # below the 8-bit output quantization.
-    t1 = jnp.einsum("mrv,cmvu->cmru", wv.astype(jnp.bfloat16),
+    t1 = jnp.einsum("mrv,cmvu->cmru", w_rows.astype(jnp.bfloat16),
                     volf.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
-    res = jnp.einsum("msu,cmru->cmrs", wu.astype(jnp.bfloat16),
+    res = jnp.einsum("msu,cmru->cmrs", w_cols.astype(jnp.bfloat16),
                      t1.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
 
-    color = res[:4]   # (4, n_m, R, R)
-    light = res[4:]   # (3, n_m, R, R)
+    color = res[:4]   # (4, n_s, R, R)
+    light = res[4:]   # (3, n_s, R, R)
 
-    # Per-texel ray direction and step length through one slice.
+    # Per-texel ray direction and step length through one slice (rows = v,
+    # cols = u; transposed to match res when this face's lateral order is
+    # swapped).
     tex_pos = jnp.stack(
         jnp.broadcast_arrays(*_local_from_uv(face_id, u_line[None, :], v_line[:, None], dtype)),
         axis=-1,
@@ -175,28 +188,37 @@ def _march_face(
 
     ref_step = MAX_DIST / num_samples.astype(dtype)
     n_steps = step_len / ref_step
+    if swapped:
+        n_steps = n_steps.T
 
-    dens = jnp.clip(color[3], 0.0, 1.0)                       # (n_m, R, R)
+    dens = jnp.clip(color[3], 0.0, 1.0)                       # (n_s, R, R)
     a_ref = jnp.clip(dens * config.absorption, 0.0, 0.999)
     alpha = 1.0 - jnp.power(1.0 - a_ref, n_steps[None])
     valid = (s > 0.0) & (s <= 1.0)
     alpha = jnp.where(valid[:, None, None], alpha, 0.0)
     alpha = jnp.clip(alpha, 0.0, 1.0 - _EPS_ALPHA)
 
-    # Prefix transmittance via exclusive cumprod (log-depth scan of
-    # multiplies; the log-space cumsum form is equivalent but spends two
-    # transcendentals per sample -- measured 1.50 -> 1.14 ms for the 6-face
-    # scan at 128^3, and the shifted-concat exclusive form beats the
-    # divide-by-self form).
-    cp = jnp.cumprod(1.0 - alpha, axis=0)
-    transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], axis=0)
+    # Exclusive front-to-back transmittance via cumprod (log-depth scan of
+    # multiplies; the log-space cumsum form spends two transcendentals per
+    # sample -- measured 1.50 -> 1.14 ms for the 6-face scan at 128^3).
+    # Slices are in natural ascending order, so front-to-back is a prefix
+    # product toward positive faces and a suffix product toward negative.
+    one_m = 1.0 - alpha
+    if sign > 0:
+        cp = jnp.cumprod(one_m, axis=0)
+        transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], axis=0)
+    else:
+        cp = jnp.cumprod(one_m[::-1], axis=0)
+        transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], axis=0)[::-1]
 
-    w = alpha * transm  # (n_m, R, R) per-slice compositing weight
+    w = alpha * transm  # (n_s, R, R) per-slice compositing weight
     rgb_rate = jnp.where(dens > 0, color[:3] / jnp.maximum(dens, 1e-6)[None], 0.0)
     out_rgb = jnp.einsum("cmrs,mrs->rsc", rgb_rate * light, w)
     out_a = jnp.sum(w, axis=0)
 
     scatter = jnp.concatenate([out_rgb / (2.0 * jnp.pi), out_a[..., None]], axis=-1)
+    if swapped:
+        scatter = jnp.swapaxes(scatter, 0, 1)
     return scatter
 
 
@@ -223,9 +245,13 @@ def ray_march_cube_fast(
     else:
         face_ids = jnp.arange(6, dtype=jnp.int32)
         visible = ((params.visibility_mask >> face_ids) & 1) > 0
+    # One slice-axis-major volume per axis, shared by its +/- face pair
+    # (the relayout dominates the march at large grids; see _axis_volume).
+    volaxes = {axis: _axis_volume(vol, axis, config) for axis in (0, 1, 2)}
     faces = []
     for f in range(6):
-        face = _march_face(f, vol, local_eye, params.num_samples, config, dtype)
+        face = _march_face(f, volaxes[_FACES[f][0]], local_eye,
+                           params.num_samples, config, dtype)
         faces.append(jnp.where(visible[f], face, 0.0))
     cube = jnp.stack(faces, axis=0)
 

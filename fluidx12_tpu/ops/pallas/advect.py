@@ -32,11 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_DISP = 12  # voxels; keep in sync with sim/advect_fast.MAX_DISP
 
 
-def _resample_axis(q: jax.Array, d: jax.Array, axis: int) -> jax.Array:
+# Blocks whose displacements all fit this many voxels take the short tap
+# path (see _pass_kernel); most of the volume is quiescent -- the plume is
+# localized -- so most blocks do 6 taps instead of 26.
+_CALM_DISP = 2
+
+
+def _resample_axis(q: jax.Array, d: jax.Array, axis: int,
+                   max_disp: int = MAX_DISP) -> jax.Array:
     """Variable-shift linear resample along `axis` of a VMEM-resident array.
 
     q: block; d: per-element displacement broadcastable to q's shape with
-    the channel dim removed (already clipped to [-MAX_DISP, MAX_DISP]).
+    the channel dim removed (already clipped to [-max_disp, max_disp]).
     out[i] = lerp(q[clamp(i + floor(d))], q[clamp(i + floor(d) + 1)]).
 
     Boundary addressing is CLAMP (edge broadcast); the reference sampler is
@@ -59,7 +66,7 @@ def _resample_axis(q: jax.Array, d: jax.Array, axis: int) -> jax.Array:
     # price is that every tap temporary stays live on the scoped-VMEM stack,
     # so blocks must stay small (see _BLOCK_BUDGET_ELEMS).
     out = jnp.zeros_like(q)
-    for a in range(-MAX_DISP, MAX_DISP + 2):
+    for a in range(-max_disp, max_disp + 2):
         w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)
         rolled = pltpu.roll(q, (n - a) % n, axis)
         val = jnp.where(bc(ids + a < 0), lo_edge, rolled)
@@ -75,8 +82,26 @@ def _pass_kernel(vol_ref, d_ref, out_ref, *, axis: int):
     displacement, so evaluating them once per tap (instead of once per
     channel per tap, the earlier per-channel-grid form) cuts ~1/3 of the
     VPU work -- _resample_axis broadcasts the (slab, A, B) weights over C.
+
+    Adaptive tap count (the TPU analog of the reference's adaptive step,
+    RayMarch.hlsli:200-210, applied to advection): blocks whose
+    displacements all fit _CALM_DISP voxels take a 6-tap path instead of
+    the full 26 -- bit-identical output, since the skipped taps carry
+    exactly zero weight there.  pl.when predication skips the heavy branch
+    at runtime; both branches' temporaries are scoped per branch, so the
+    VMEM high-water mark is unchanged.
     """
-    out_ref[...] = _resample_axis(vol_ref[...], d_ref[...], axis=axis)
+    q = vol_ref[...]
+    d = d_ref[...]
+    calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
+
+    @pl.when(calm)
+    def _():
+        out_ref[...] = _resample_axis(q, d, axis=axis, max_disp=_CALM_DISP)
+
+    @pl.when(jnp.logical_not(calm))
+    def _():
+        out_ref[...] = _resample_axis(q, d, axis=axis)
 
 
 # Per-tap temporaries stay live on Mosaic's 16 MB scoped-VMEM stack, so the

@@ -131,6 +131,11 @@ def _plan(shape, slab: int, inner: int):
         return None
     if ny * nx <= 128 * 128:
         return slab, ny  # full planes fit comfortably
+    # Tiled Y windows start at y0 - halo; the pl.multiple_of(lo_y, 8) hint
+    # that lets Mosaic prove the DMA is sublane-aligned is only TRUE when
+    # the halo is a multiple of 8 (wrong results otherwise, not an error).
+    if halo % 8:
+        return None
     # Tile Y into strips; keep the halo'd buffer ~<= 1.5 MB so the ~6 live
     # sweep temporaries stay inside the scoped-VMEM stack.
     ytile = 32
@@ -143,6 +148,22 @@ def _plan(shape, slab: int, inner: int):
         if nz % slab or nz < slab + 2 * halo:
             return None
     return slab, ytile
+
+
+def jacobi_tuning(shape, iters: int):
+    """Best measured (slab, inner) for this volume, or None if unsupported.
+
+    Full-plane volumes (plane <= 128x128) relax fastest with shallow halos
+    and tall slabs (v5e, 64 sweeps at 128^3: slab=32/inner=4 2.8 ms vs
+    slab=16/inner=8 3.2 ms); y-tiled volumes need halo % 8 == 0 (see _plan)
+    so they stay at inner=8 (256^3: 25 ms).
+    """
+    nz, ny, nx = shape
+    candidates = ((32, 4), (16, 8)) if ny * nx <= 128 * 128 else ((16, 8),)
+    for slab, inner in candidates:
+        if iters % inner == 0 and _plan(shape, slab, inner) is not None:
+            return slab, inner
+    return None
 
 
 def jacobi_pallas_supported(shape, iters: int, slab: int = 16, inner: int = 8) -> bool:

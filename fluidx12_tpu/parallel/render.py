@@ -70,9 +70,13 @@ def sharded_render_frame(
         visible = ((params.visibility_mask >> face_ids) & 1) > 0
 
         # Face-parallel march: device d computes faces f with f % n == d.
+        from fluidx12_tpu.render.slicecomp import _FACES, _axis_volume
+
+        volaxes = {axis: _axis_volume(vol, axis, config) for axis in (0, 1, 2)}
         faces = []
         for f in range(6):
-            face = _march_face(f, vol, local_eye, params.num_samples, config, dtype)
+            face = _march_face(f, volaxes[_FACES[f][0]], local_eye,
+                               params.num_samples, config, dtype)
             mine = (f % n) == idx
             faces.append(jnp.where(mine & visible[f], face, 0.0))
         cube = jnp.stack(faces, axis=0)

@@ -115,23 +115,20 @@ def project(
     is_3d = config.is_3d
     rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
 
+    tuning = None
     if config.use_pallas and config.pallas_jacobi and is_3d:
-        from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas_supported
+        from fluidx12_tpu.ops.pallas.jacobi import jacobi_tuning
 
-        use_pallas = (
-            jax.default_backend() == "tpu"  # CPU runs the XLA twin
-            and jacobi_pallas_supported(config.zyx, config.num_pressure_iters)
-        )
-    else:
-        use_pallas = False
+        if jax.default_backend() == "tpu":  # CPU runs the XLA twin
+            tuning = jacobi_tuning(config.zyx, config.num_pressure_iters)
 
     def run(args):
         vel, q = args
         b = divergence(vel, is_3d).astype(jnp.float32)
-        if use_pallas:
+        if tuning is not None:
             from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas
 
-            q = jacobi_pallas(q, b, config.num_pressure_iters)
+            q = jacobi_pallas(q, b, config.num_pressure_iters, *tuning)
         else:
             q = jacobi_sweeps(q, b, config.num_pressure_iters, is_3d)
         vel = subtract_gradient(vel, q, rho, is_3d)

@@ -75,3 +75,26 @@ def test_jacobi_pallas_ytiled_matches_xla():
     ref = np.asarray(jacobi_sweeps(q, b, 8, True))
     got = np.asarray(jacobi_pallas(q, b, 8))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_jacobi_tuning_rejects_unaligned_tiled_halo():
+    # Tiled-Y windows start at y0 - halo with a pl.multiple_of(lo_y, 8)
+    # alignment hint; a halo that is not a multiple of 8 makes that hint a
+    # lie (silently wrong DMA), so the plan must refuse it.
+    from fluidx12_tpu.ops.pallas.jacobi import _plan, jacobi_tuning
+
+    assert _plan((32, 256, 256), slab=16, inner=4) is None   # tiled, halo 4
+    assert _plan((32, 256, 256), slab=16, inner=8) is not None
+    assert _plan((32, 128, 128), slab=16, inner=4) is not None  # full plane
+    assert jacobi_tuning((128, 128, 128), 64) == (32, 4)
+    assert jacobi_tuning((256, 256, 256), 64) == (16, 8)
+
+
+def test_jacobi_pallas_full_plane_tall_slab():
+    # The tuned full-plane config (slab=32, inner=4) must match the XLA twin.
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.random((64, 32, 128), np.float32))
+    b = jnp.asarray(rng.random((64, 32, 128), np.float32) * 0.1)
+    ref = np.asarray(jacobi_sweeps(q, b, 8, True))
+    got = np.asarray(jacobi_pallas(q, b, 8, slab=32, inner=4))
+    np.testing.assert_allclose(got, ref, atol=2e-6)

@@ -43,13 +43,15 @@ def main():
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-step: {compile_s:.1f}s", file=sys.stderr)
 
-    # Let the smoke develop a few frames so the march does real work.
-    for _ in range(10):
+    # Let the smoke develop to steady state so the march and the adaptive
+    # advect taps (ops/pallas/advect.py) do their real, worst-case work --
+    # a short warmup would overstate throughput on a near-empty volume.
+    for _ in range(300):
         state, image = step(state, params)
     sync(image)
 
     # Timed run with async dispatch, syncing only at the end.
-    n = 30
+    n = 100
     t0 = time.perf_counter()
     for _ in range(n):
         state, image = step(state, params)

@@ -23,7 +23,7 @@ import numpy as np
 
 from fluidx12_tpu.core import math3d as m3
 from fluidx12_tpu.core.camera import OrbitCamera
-from fluidx12_tpu.core.config import FluidConfig, RenderMethod
+from fluidx12_tpu.core.config import FaceCullMode, FluidConfig, RenderMethod
 from fluidx12_tpu.core.lod import estimate_cube_map_lod, gen_visibility_mask
 from fluidx12_tpu.core.state import (
     FluidState,
@@ -76,8 +76,12 @@ class FluidXEngine:
     # ------------------------------------------------------------------
     # Host-side per-frame update (the CB upload analog)
     # ------------------------------------------------------------------
-    def update_frame(self) -> Tuple[jax.Array, int]:
-        """Compute packed per-frame params + cube-map LOD; ref Fluid::UpdateFrame."""
+    def update_frame(self) -> Tuple[jax.Array, int, Optional[int]]:
+        """Packed per-frame params + cube-map LOD + static visibility mask;
+        ref Fluid::UpdateFrame.  The mask is None under FaceCullMode.NONE
+        (in-graph visibility test) and otherwise keys the jit cache so
+        culled faces are never traced (ref skips their dispatches,
+        Fluid.cpp:880-887)."""
         cfg = self.config
         dt = 0.0 if self.is_paused else cfg.time_step
         wvp = self.world @ self.camera.view_proj
@@ -104,12 +108,14 @@ class FluidXEngine:
             self.world, self.world_i, wvp, wvp_i, screen_to_world,
             ray_samples, cfg.max_light_samples, mask,
         )
-        return jnp.asarray(flat), lod
+        vis_mask = None if cfg.face_cull == FaceCullMode.NONE else mask
+        return jnp.asarray(flat), lod, vis_mask
 
     # ------------------------------------------------------------------
     # Device-side fused step (jitted per method x lod)
     # ------------------------------------------------------------------
-    def _build_program(self, method: RenderMethod, lod: int):
+    def _build_program(self, method: RenderMethod, lod: int,
+                       vis_mask: Optional[int] = None):
         cfg = self.config
         has_probe = self.sh_coeffs is not None
 
@@ -139,7 +145,8 @@ class FluidXEngine:
                         light_map = render_light_map(grid, params, cfg, sh_coeffs)
                 if method.uses_cube_map:
                     if fast:
-                        cube = ray_march_cube_fast(grid, params, cfg, light_map, lod=lod)
+                        cube = ray_march_cube_fast(grid, params, cfg, light_map,
+                                                   lod=lod, static_mask=vis_mask)
                     else:
                         cube = ray_march_cube(
                             grid, params, cfg, lod=lod,
@@ -164,17 +171,18 @@ class FluidXEngine:
 
         return jax.jit(step_and_render, donate_argnums=(0,))
 
-    def _program(self, method: RenderMethod, lod: int):
-        key = (method, lod)
+    def _program(self, method: RenderMethod, lod: int,
+                 vis_mask: Optional[int] = None):
+        key = (method, lod, vis_mask)
         if key not in self._programs:
-            self._programs[key] = self._build_program(method, lod)
+            self._programs[key] = self._build_program(method, lod, vis_mask)
         return self._programs[key]
 
     # ------------------------------------------------------------------
     def step_frame(self) -> jax.Array:
         """One full frame; returns the (H, W, 3) float image (device array)."""
-        params, lod = self.update_frame()
-        program = self._program(self.render_method, lod)
+        params, lod, vis_mask = self.update_frame()
+        program = self._program(self.render_method, lod, vis_mask)
         self.state, image = program(self.state, params, self.sh_coeffs, self.radiance)
         self.frame_index += 1
         return image

@@ -48,7 +48,7 @@ def profile_passes(engine, reps: int = 5) -> Dict[str, float]:
     from fluidx12_tpu.core.state import unpack_scene_params
 
     cfg = engine.config
-    packed, lod = engine.update_frame()
+    packed, lod, vis_mask = engine.update_frame()
     params = unpack_scene_params(packed)
     state = engine.state
     out: Dict[str, float] = {}
@@ -70,7 +70,8 @@ def profile_passes(engine, reps: int = 5) -> Dict[str, float]:
         lm = lm_f(color)
 
         if cfg.fast_render:
-            cm = jax.jit(lambda g, l: ray_march_cube_fast(g, params, cfg, l, lod=lod))
+            cm = jax.jit(lambda g, l: ray_march_cube_fast(
+                g, params, cfg, l, lod=lod, static_mask=vis_mask))
         else:
             cm = jax.jit(lambda g, l: ray_march_cube(g, params, cfg, lod=lod, light_map=l))
         out["cube_march"] = time_fn(cm, color, lm, reps=reps)

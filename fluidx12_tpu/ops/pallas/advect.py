@@ -184,6 +184,135 @@ def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, interpret: bool):
     return None
 
 
+_ZHALO = MAX_DISP + 1   # taps span [-MAX_DISP, MAX_DISP + 1]
+_ZHBLK = 16             # halo block planes (smallest multiple of 8 >= _ZHALO)
+
+
+def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
+                  slab: int, nz: int):
+    """Resample the leading (z) axis of one channel's slab.
+
+    The x/y passes resample the lane/sublane axes with vector rolls; z is a
+    leading (untiled) dim, so its taps are offset slab slices of a
+    (prev-halo | cur | next-halo) window assembled in a scratch ref -- no
+    470 MB lane transposes (measured 2x 3.4 ms at 256^3) and no per-tap
+    roll work.  The halo neighbors ride ordinary pipelined BlockSpecs sized
+    _ZHBLK planes (index maps clamped at the volume edges), so DMA overlaps
+    compute and read redundancy is only (slab + 2*_ZHBLK)/slab.
+
+    Tap evaluation is two-tier (grid-step overhead, not VPU work, dominates
+    this pass, so blocks are sized 4x beyond what a fully-unrolled 26-tap
+    set would allow): calm blocks take an unrolled 6-tap path (static
+    offsets); the rare heavy blocks run the full 26 taps in a fori_loop
+    with dynamic-start window reads, which keeps one live temporary.
+    Per-tap global masks apply CLAMP addressing at the two edge slabs
+    (elsewhere they never bite, so interior slabs take mask-free paths).
+    d (the center displacements) ignores the channel grid dim and is
+    revisited across the channel steps.
+    """
+    zi = pl.program_id(0)
+    z0 = zi * slab
+    d = d_ref[...]
+    win_ref[: _ZHALO] = prev_ref[0, _ZHBLK - _ZHALO:]
+    win_ref[pl.ds(_ZHALO, slab)] = cur_ref[0]
+    win_ref[pl.ds(_ZHALO + slab, _ZHALO)] = next_ref[0, :_ZHALO]
+    ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + z0  # global z
+    lo_edge = cur_ref[0, :1]   # only read at zi == 0 / last (masked elsewhere)
+    hi_edge = cur_ref[0, slab - 1:]
+    calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
+    interior = (zi > 0) & (zi < pl.num_programs(0) - 1)
+
+    def clamp(val, a, masked):
+        if not masked:
+            return val
+        val = jnp.where(ids + a < 0, lo_edge, val)
+        val = jnp.where(ids + a >= nz, hi_edge, val)
+        return val
+
+    def calm_path(masked):
+        out = jnp.zeros_like(d)
+        for a in range(-_CALM_DISP, _CALM_DISP + 2):
+            w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)
+            val = win_ref[pl.ds(_ZHALO + a, slab)]
+            out = out + clamp(val, a, masked) * w
+        out_ref[0] = out
+
+    def heavy_path(masked):
+        def tap(ai, out):
+            a = ai - MAX_DISP
+            w = jnp.maximum(1.0 - jnp.abs(d - a.astype(d.dtype)), 0.0)
+            val = win_ref[pl.ds(_ZHALO + a, slab)]
+            return out + clamp(val, a, masked) * w
+
+        out_ref[0] = jax.lax.fori_loop(
+            0, 2 * MAX_DISP + 2, tap, jnp.zeros_like(d))
+
+    @pl.when(calm & interior)
+    def _():
+        calm_path(masked=False)
+
+    @pl.when(calm & jnp.logical_not(interior))
+    def _():
+        calm_path(masked=True)
+
+    @pl.when(jnp.logical_not(calm) & interior)
+    def _():
+        heavy_path(masked=False)
+
+    @pl.when(jnp.logical_not(calm) & jnp.logical_not(interior))
+    def _():
+        heavy_path(masked=True)
+
+
+def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool):
+    """vol (C, Z, Y, X), disp (Z, Y, X) pre-clipped: resample z.
+
+    Grid is (z-slab, y-tile, channel) with channel innermost so the shared
+    displacement block keeps the same index across the channel steps and is
+    fetched once per (z, y).  Returns None if the shape doesn't tile.
+    """
+    c, nz, ny, nx = vol.shape
+    slab = 32
+    while slab > 1 and nz % slab:
+        slab //= 2
+    ytile = 32
+    while ytile > 8 and (ny % ytile or slab * ytile * nx > 256 * 1024):
+        ytile //= 2
+    if nz % slab or ny % ytile or slab < _ZHBLK or slab % _ZHBLK:
+        return None
+    n_slabs = nz // slab
+    hb = slab // _ZHBLK      # halo blocks per slab
+    n_hblks = nz // _ZHBLK
+
+    grid = (n_slabs, ny // ytile, c)
+    blk = (1, slab, ytile, nx)
+    hblk = (1, _ZHBLK, ytile, nx)
+    return pl.pallas_call(
+        functools.partial(_zpass_kernel, slab=slab, nz=nz),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        grid=grid,
+        in_specs=[
+            # prev halo: last _ZHBLK planes of slab zi-1 (clamped at 0)
+            pl.BlockSpec(hblk,
+                         lambda zi, yi, ci, hb=hb: (ci, jnp.maximum(zi * hb - 1, 0), yi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda zi, yi, ci: (ci, zi, yi, 0),
+                         memory_space=pltpu.VMEM),
+            # next halo: first _ZHBLK planes of slab zi+1 (clamped at end)
+            pl.BlockSpec(hblk,
+                         lambda zi, yi, ci, hb=hb, n=n_hblks: (ci, jnp.minimum((zi + 1) * hb, n - 1), yi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab, ytile, nx), lambda zi, yi, ci: (zi, yi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda zi, yi, ci: (ci, zi, yi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slab + 2 * _ZHALO, ytile, nx), vol.dtype)],
+        interpret=interpret,
+    )(vol, vol, vol, disp)
+
+
 def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
     """Full 3-pass split backtrace of the (7, Z, Y, X) combined field.
 
@@ -209,7 +338,12 @@ def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
     if not config.is_3d:
         return out
 
-    # Pass z: transpose z onto lanes, resample, transpose back.
+    # Pass z: leading-dim window kernel (no transposes).
+    out_z = _run_zpass(out, clip_disp(out[2], dt * z), interpret=interpret)
+    if out_z is not None:
+        return out_z
+
+    # Fallback: transpose z onto lanes, resample, transpose back.
     zt = jnp.transpose(out, (0, 3, 2, 1))  # (7, X, Y, Z)
     dz_t = jnp.transpose(clip_disp(out[2], dt * z), (2, 1, 0))  # (X, Y, Z)
     out_t = _run_pass(zt, dz_t, axis=3, interpret=interpret)

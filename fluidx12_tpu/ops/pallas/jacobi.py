@@ -121,6 +121,109 @@ def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int, halo: int,
     )
 
 
+def _planewise_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int,
+                      halo: int, inner: int, nz: int, ny: int,
+                      chunk: int = 8):
+    """Plane-sweep variant for big volumes (planes > 128x128).
+
+    The whole-window kernel (_jacobi_kernel) keeps ~8 window-sized sweep
+    temporaries live on Mosaic's scoped-VMEM stack, capping windows at
+    ~1.5 MB and forcing 3x halo recompute at 256^3.  Here each sweep walks
+    the window plane-by-plane in z (temporaries are plane-sized), so the
+    window can grow to ~4 MB: (slab, ytile) = (32, 64) with halo 8 is
+    1.875x redundancy instead of 3x.  Jacobi reads only old values, so the
+    sweep ping-pongs between two VMEM window buffers.
+
+    Within-window z indexing is clamped at the window edge; those edge
+    planes are halo planes whose values are stale after the first sweep
+    anyway (halo >= inner), except at the true volume boundary where the
+    clamp IS the boundary condition.
+    """
+    zi = pl.program_id(0)
+    yi = pl.program_id(1)
+    z0 = zi * slab
+    y0 = yi * ytile
+    size_z = slab + 2 * halo
+    size_y = min(ytile + 2 * halo, ny)
+
+    lo_z = jnp.clip(z0 - halo, 0, nz - size_z)
+    lo_y = pl.multiple_of(jnp.clip(y0 - halo, 0, ny - size_y), 8)
+
+    def body(qa, qb, b_buf, sem_q, sem_b, sem_o):
+        cp_q = pltpu.make_async_copy(
+            q_hbm.at[pl.ds(lo_z, size_z), pl.ds(lo_y, size_y)], qa, sem_q)
+        cp_b = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(lo_z, size_z), pl.ds(lo_y, size_y)], b_buf, sem_b)
+        cp_q.start()
+        cp_b.start()
+        cp_q.wait()
+        cp_b.wait()
+
+        nx = qa.shape[2]
+        # Edge masks, computed once: rows/lanes clamped at *global* edges.
+        gy = jax.lax.broadcasted_iota(jnp.int32, (1, size_y, nx), 1) + lo_y
+        top_y = gy == 0
+        bot_y = gy == ny - 1
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, size_y, nx), 2)
+        first_x = ix == 0
+        last_x = ix == nx - 1
+        n_chunks = size_z // chunk
+
+        def sweep(src, dst):
+            # Walk the window `chunk` z-planes at a time: temporaries are
+            # chunk-sized (not window-sized), and the z-loop trip count
+            # stays low enough that scalar-core loop overhead is amortized.
+            def step(ci, _):
+                z = ci * chunk
+                q = src[pl.ds(z, chunk)]
+                up = jnp.where(bot_y, q, pltpu.roll(q, size_y - 1, 1))
+                dn = jnp.where(top_y, q, pltpu.roll(q, 1, 1))
+                rt = jnp.where(last_x, q, pltpu.roll(q, nx - 1, 2))
+                lt = jnp.where(first_x, q, pltpu.roll(q, 1, 2))
+                # z neighbors: in-chunk shift plus one plane from the
+                # adjacent chunk, clamped at the window edge (those are
+                # stale halo planes) and overridden at the global boundary.
+                zm = jnp.concatenate(
+                    [src[pl.ds(jnp.maximum(z - 1, 0), 1)], q[:-1]], axis=0)
+                zp = jnp.concatenate(
+                    [q[1:], src[pl.ds(jnp.minimum(z + chunk, size_z - 1), 1)]],
+                    axis=0)
+                gz = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0) + z + lo_z
+                zm = jnp.where(gz == 0, q, zm)
+                zp = jnp.where(gz == nz - 1, q, zp)
+                dst[pl.ds(z, chunk)] = (
+                    up + dn + rt + lt + zm + zp - b_buf[pl.ds(z, chunk)]
+                ) / 6.0
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, step, 0)
+
+        for s in range(inner):
+            sweep(qa, qb) if s % 2 == 0 else sweep(qb, qa)
+
+        final = qa if inner % 2 == 0 else qb
+        cp_o = pltpu.make_async_copy(
+            final.at[pl.ds(z0 - lo_z, slab),
+                     pl.ds(pl.multiple_of(y0 - lo_y, 8), ytile)],
+            out_hbm.at[pl.ds(z0, slab),
+                       pl.ds(pl.multiple_of(y0, 8), ytile)],
+            sem_o,
+        )
+        cp_o.start()
+        cp_o.wait()
+
+    nx = q_hbm.shape[2]
+    pl.run_scoped(
+        body,
+        qa=pltpu.VMEM((size_z, size_y, nx), jnp.float32),
+        qb=pltpu.VMEM((size_z, size_y, nx), jnp.float32),
+        b_buf=pltpu.VMEM((size_z, size_y, nx), jnp.float32),
+        sem_q=pltpu.SemaphoreType.DMA,
+        sem_b=pltpu.SemaphoreType.DMA,
+        sem_o=pltpu.SemaphoreType.DMA,
+    )
+
+
 def _plan(shape, slab: int, inner: int):
     """Choose (slab, ytile) for a (Z, Y, X) volume; None if unsupported."""
     nz, ny, nx = shape
@@ -150,19 +253,63 @@ def _plan(shape, slab: int, inner: int):
     return slab, ytile
 
 
+_CHUNK = 8  # z-planes per sweep step; keeps fori_loop trip counts low
+
+
+def _plan_planewise(shape, inner: int):
+    """(slab, ytile, halo) for the plane-sweep kernel, or None.
+
+    halo is max(inner, 8) rounded to a multiple of 8 (the lo_y DMA
+    alignment hint requires it).  VMEM: the window triple-buffer
+    (q ping-pong + b) plus ~8 chunk-sized sweep temporaries must fit under
+    Mosaic's ~16 MB scoped stack.
+    """
+    nz, ny, nx = shape
+    halo = -(-max(inner, 8) // 8) * 8
+    budget = 15 * 1024 * 1024
+    best = None
+    for slab in (64, 32, 16, 8):
+        size_z = slab + 2 * halo
+        if nz % slab or nz < size_z or size_z % _CHUNK:
+            continue
+        for ytile in (128, 64, 32, 16, 8):
+            if ny % ytile or ny < ytile + 2 * halo:
+                continue
+            size_y = ytile + 2 * halo
+            size = (size_z * 3 + _CHUNK * 8) * size_y * nx * 4
+            if size > budget:
+                continue
+            # Tie-break toward wide y-windows: the sweep loops over z-chunks,
+            # so fewer/larger (size_y, X) planes amortize loop overhead.
+            key = (round((1 + 2 * halo / slab) * (1 + 2 * halo / ytile), 4),
+                   -ytile)
+            if best is None or key < best[0]:
+                best = (key, slab, ytile, halo)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
 def jacobi_tuning(shape, iters: int):
     """Best measured (slab, inner) for this volume, or None if unsupported.
 
     Full-plane volumes (plane <= 128x128) relax fastest with shallow halos
-    and tall slabs (v5e, 64 sweeps at 128^3: slab=32/inner=4 2.8 ms vs
-    slab=16/inner=8 3.2 ms); y-tiled volumes need halo % 8 == 0 (see _plan)
-    so they stay at inner=8 (256^3: 25 ms).
+    and tall slabs in the whole-window kernel (v5e, 64 sweeps at 128^3:
+    slab=32/inner=4 2.8 ms vs slab=16/inner=8 3.2 ms); bigger planes use
+    the plane-sweep kernel with inner=8 windows (256^3: 25 ms -> see
+    _planewise_kernel).
     """
     nz, ny, nx = shape
-    candidates = ((32, 4), (16, 8)) if ny * nx <= 128 * 128 else ((16, 8),)
-    for slab, inner in candidates:
-        if iters % inner == 0 and _plan(shape, slab, inner) is not None:
-            return slab, inner
+    if ny * nx <= 128 * 128:
+        for slab, inner in ((32, 4), (16, 8)):
+            if iters % inner == 0 and _plan(shape, slab, inner) is not None:
+                return slab, inner
+        return None
+    for inner in (8, 4):
+        if iters % inner == 0 and _plan_planewise(shape, inner) is not None:
+            return _plan_planewise(shape, inner)[0], inner
+    if iters % 8 == 0 and _plan(shape, 16, 8) is not None:
+        return 16, 8
     return None
 
 
@@ -172,19 +319,33 @@ def jacobi_pallas_supported(shape, iters: int, slab: int = 16, inner: int = 8) -
 
 def jacobi_pallas(pressure: jax.Array, div: jax.Array, iters: int,
                   slab: int = 16, inner: int = 8) -> jax.Array:
-    """Run `iters` Jacobi sweeps (3D only). pressure/div: (Z, Y, X) f32."""
+    """Run `iters` Jacobi sweeps (3D only). pressure/div: (Z, Y, X) f32.
+
+    Plane <= 128x128 volumes use the whole-window kernel; larger planes the
+    plane-sweep kernel (see _planewise_kernel) when its plan fits, falling
+    back to the y-tiled whole-window kernel.
+    """
     if iters % inner:
         raise ValueError("iters must be a multiple of inner")
-    plan = _plan(pressure.shape, slab, inner)
-    if plan is None:
-        raise ValueError(f"unsupported volume shape {pressure.shape}")
-    slab, ytile = plan
-    nz, ny, _ = pressure.shape
+    nz, ny, nx = pressure.shape
+
+    pw = _plan_planewise(pressure.shape, inner) if ny * nx > 128 * 128 else None
+    if pw is not None:
+        slab, ytile, halo = pw
+        kernel = functools.partial(
+            _planewise_kernel, slab=slab, ytile=ytile, halo=halo,
+            inner=inner, nz=nz, ny=ny)
+    else:
+        plan = _plan(pressure.shape, slab, inner)
+        if plan is None:
+            raise ValueError(f"unsupported volume shape {pressure.shape}")
+        slab, ytile = plan
+        kernel = functools.partial(
+            _jacobi_kernel, slab=slab, ytile=ytile, halo=inner, inner=inner,
+            nz=nz, ny=ny)
 
     call = pl.pallas_call(
-        functools.partial(
-            _jacobi_kernel, slab=slab, ytile=ytile, halo=inner, inner=inner,
-            nz=nz, ny=ny),
+        kernel,
         interpret=(jax.default_backend() == "cpu"),
         out_shape=jax.ShapeDtypeStruct(pressure.shape, jnp.float32),
         grid=(nz // slab, ny // ytile),

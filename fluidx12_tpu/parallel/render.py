@@ -62,8 +62,10 @@ def sharded_render_frame(
 
         dtype = config.render_dtype
         local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
+        # March channels: density + premultiplied rgb * light (see slicecomp).
         vol = jnp.concatenate(
-            [grid_full.astype(dtype), light_map.astype(dtype)], axis=0
+            [grid_full[3:4].astype(dtype),
+             grid_full[:3].astype(dtype) * light_map.astype(dtype)], axis=0
         )
 
         face_ids = jnp.arange(6, dtype=jnp.int32)

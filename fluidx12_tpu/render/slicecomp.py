@@ -29,6 +29,8 @@ the screen-space resolve are unchanged from render/cubemap.py.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -51,6 +53,12 @@ _FACES = [
 ]
 
 _EPS_ALPHA = 1e-6
+
+
+def _mxu16():
+    """Half-precision matmul dtype: bf16 on TPU (2x MXU, half HBM), f32 on
+    CPU (XLA:CPU's dot thunks reject mixed bf16xbf16->f32)."""
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
 
 def _interp_weights(coords: jax.Array, n_src: int) -> jax.Array:
@@ -80,57 +88,81 @@ def _local_from_uv(face_id, u, v, dtype):
     return comps
 
 
-_ARR_AXIS = {0: 3, 1: 2, 2: 1}       # local axis -> (7, Z, Y, X) array dim
+_ARR_AXIS = {0: 3, 1: 2, 2: 1}       # local axis -> (C, Z, Y, X) array dim
 _ARR_TO_LOCAL = {1: 2, 2: 1, 3: 0}   # array dim -> local axis
 
 
-def _axis_volume(vol: jax.Array, axis: int, config: FluidConfig) -> jax.Array:
+def _axis_volume(vol: jax.Array, axis: int, config: FluidConfig,
+                 lod: int = 0) -> jax.Array:
     """Slice-axis-major, box-averaged, bf16 view of the volume for one axis.
 
-    (7, Z, Y, X) -> (7, n_s, A, B) with the marching axis first, in natural
-    ascending order.  Built once per axis and shared by the +/- face pair --
-    the volume relayout (not the resampling einsums) dominates the march at
-    large grids, so per-face copies are the thing to avoid.
+    (C, Z, Y, X) -> (C, n_s, A, B) with the marching axis first, in natural
+    ascending order.  Built once per axis and shared by the +/- face pair.
 
-    The slice count is capped at the configured ray-sample budget (the
-    reference clamps view rays to max_ray_samples, FluidX12.cpp:38); stride
-    groups are box-averaged (midpoint-rule integration).
+    The relayout is the march's HBM hot spot at large grids, so it is
+    expressed as an MXU matmul against a box-pooling matrix contracting the
+    marching axis (after a bf16 cast): XLA then reads the volume once at
+    half width and never materializes a full-size transpose -- measured
+    10.6 ms -> ~1 ms for the three axes at 256^3.  For the Z axis the
+    marching dim is already leading, so a cheap reshape-mean suffices.
+
+    The slice count is capped at the LOD-scaled ray-sample budget (the
+    reference clamps view rays to max_ray_samples and scales the march by
+    mip level, FluidX12.cpp:38, Fluid.cpp:852-854); stride groups are
+    box-averaged (midpoint-rule integration).
     """
     sizes = (config.grid_size[0], config.grid_size[1], config.grid_size[2])
     n_m = sizes[axis]
-    stride = max(-(-n_m // config.max_ray_samples), 1)
+    cap = max(config.max_ray_samples >> lod, 1)
+    stride = max(-(-n_m // cap), 1)
     n_s = n_m // stride
-    volf = jnp.moveaxis(vol, _ARR_AXIS[axis], 1)
-    if stride > 1:
-        volf = volf[:, : n_s * stride].reshape(
-            volf.shape[0], n_s, stride, volf.shape[2], volf.shape[3]
-        ).mean(axis=2)
-    return volf.astype(jnp.bfloat16)
+    mx = _mxu16()
+    v16 = vol.astype(mx)  # no-op when the caller already cast (one shared cast)
+    if axis == 2 and stride == 1:  # marching axis is already array dim 1
+        return v16
+    pool = jnp.zeros((n_m, n_s), mx).at[
+        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
+    ].set(1.0 / stride)
+    eq = {2: "czyx,zm->cmyx", 1: "czyx,ym->cmzx", 0: "czyx,xm->cmzy"}[axis]
+    return jnp.einsum(eq, v16, pool,
+                      preferred_element_type=jnp.float32).astype(mx)
 
 
 def _march_face(
     face_id: int,
-    volf: jax.Array,        # (7, n_s, A, B) from _axis_volume(face's axis)
+    volf: jax.Array,        # (4, n_s, A, B) from _axis_volume(face's axis)
     local_eye: jax.Array,
     num_samples: jax.Array,
     config: FluidConfig,
     dtype,
+    lod: int = 0,
 ) -> jax.Array:
-    """March one cube face in bulk; returns (R, R, 4).
+    """March one cube face in bulk; returns (R_eff, R_eff, 4), R_eff = R >> lod.
 
     Face orientation is folded into cheap per-face work instead of volume
     copies: the march direction (face sign) picks prefix vs suffix
     transmittance, lateral signs live in the interpolation weights, and the
-    X faces' swapped lateral order becomes a transpose of the final R x R
-    image (0.8 MB) rather than of the volume.
+    X faces' swapped lateral order becomes a transpose of the final image
+    rather than of the volume.
+
+    The volume carries 4 channels: [density, premultiplied rgb * light].
+    Pre-multiplying color by light in volume space (instead of resampling
+    both and multiplying after) nearly halves the resample matmuls and the
+    big (n_s, R, R) intermediates; the difference -- trilinear-of-product vs
+    product-of-trilinears -- is below the 8-bit output quantization for the
+    smooth fields involved (cross-checked in tests/test_fastpath.py).
+
+    LOD marches the face at mip resolution directly with a proportionally
+    reduced slice budget, mirroring the reference's mip-scaled dispatch
+    (Fluid.cpp:852-854) instead of marching full-res and downsampling.
     """
     axis, sign, (ua, us), (va, vs) = _FACES[face_id]
     z, y, x = config.zyx
     sizes = (x, y, z)
     n_m = sizes[axis]
     n_s = volf.shape[1]
-    stride = n_m // n_s
-    R = config.cube_map_size
+    stride = -(-n_m // max(config.max_ray_samples >> lod, 1))
+    R = max(config.cube_map_size >> lod, 1)
 
     t = ((jnp.arange(R, dtype=dtype) + 0.5) / R) * 2.0 - 1.0
     u_line = t
@@ -160,19 +192,19 @@ def _march_face(
     w_rows = w_for(rem_local[0])  # resamples volf dim 2
     w_cols = w_for(rem_local[1])  # resamples volf dim 3
 
-    # Bulk separable resample on the MXU: (7, n_s, A, B) -> (7, n_s, R, R).
-    # bf16 inputs with f32 accumulation double MXU throughput; inputs are
-    # smooth imagery (densities/colors/light) where bf16's 8-bit mantissa is
-    # below the 8-bit output quantization.
-    t1 = jnp.einsum("mrv,cmvu->cmru", w_rows.astype(jnp.bfloat16),
-                    volf.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-    res = jnp.einsum("msu,cmru->cmrs", w_cols.astype(jnp.bfloat16),
-                     t1.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+    # Bulk separable resample on the MXU: (4, n_s, A, B) -> (4, n_s, R, R).
+    # bf16 inputs with f32 accumulation double MXU throughput, and bf16
+    # intermediates halve the HBM traffic of the big (n_s, R, R) tensors;
+    # inputs are smooth imagery (densities/lit colors) where bf16's 8-bit
+    # mantissa is below the 8-bit output quantization.
+    mx = _mxu16()
+    t1 = jnp.einsum("mrv,cmvu->cmru", w_rows.astype(mx), volf.astype(mx),
+                    preferred_element_type=jnp.float32).astype(mx)
+    res = jnp.einsum("msu,cmru->cmrs", w_cols.astype(mx), t1,
+                     preferred_element_type=jnp.float32).astype(mx)
 
-    color = res[:4]   # (4, n_s, R, R)
-    light = res[4:]   # (3, n_s, R, R)
+    dens_r = res[0].astype(dtype)  # (n_s, R, R); transmittance math stays f32
+    prod = res[1:4]                # (3, n_s, R, R) bf16, premultiplied rgb*light
 
     # Per-texel ray direction and step length through one slice (rows = v,
     # cols = u; transposed to match res when this face's lateral order is
@@ -191,7 +223,7 @@ def _march_face(
     if swapped:
         n_steps = n_steps.T
 
-    dens = jnp.clip(color[3], 0.0, 1.0)                       # (n_s, R, R)
+    dens = jnp.clip(dens_r, 0.0, 1.0)                         # (n_s, R, R)
     a_ref = jnp.clip(dens * config.absorption, 0.0, 0.999)
     alpha = 1.0 - jnp.power(1.0 - a_ref, n_steps[None])
     valid = (s > 0.0) & (s <= 1.0)
@@ -212,8 +244,11 @@ def _march_face(
         transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], axis=0)[::-1]
 
     w = alpha * transm  # (n_s, R, R) per-slice compositing weight
-    rgb_rate = jnp.where(dens > 0, color[:3] / jnp.maximum(dens, 1e-6)[None], 0.0)
-    out_rgb = jnp.einsum("cmrs,mrs->rsc", rgb_rate * light, w)
+    # Scatter rate = (rgb/density) * light = prod / density; weighting by
+    # w/density keeps the saturation behavior of the per-sample form.
+    w_rate = jnp.where(dens > 0, w / jnp.maximum(dens, 1e-6), 0.0)
+    out_rgb = jnp.einsum("cmrs,mrs->rsc", prod, w_rate.astype(prod.dtype),
+                         preferred_element_type=jnp.float32)
     out_a = jnp.sum(w, axis=0)
 
     scatter = jnp.concatenate([out_rgb / (2.0 * jnp.pi), out_a[..., None]], axis=-1)
@@ -228,36 +263,52 @@ def ray_march_cube_fast(
     config: FluidConfig,
     light_map: jax.Array,
     lod: int = 0,
+    static_mask: Optional[int] = None,
 ) -> jax.Array:
     """Bulk slice-compositing cube-map march (separate-light mode).
 
-    Drop-in for render/cubemap.ray_march_cube when a light map is available;
-    marches at full slice resolution and box-downsamples to the requested mip
-    (the reference's LOD shrinks the march target to save work; here full-res
-    is already cheap and the downsample preserves the AA-resolve contract).
+    Drop-in for render/cubemap.ray_march_cube when a light map is available.
+    Marches each face directly at mip resolution R >> lod with an
+    LOD-scaled slice budget (the reference's mip-scaled dispatch,
+    Fluid.cpp:852-854).
+
+    `static_mask`, when given, is a trace-time visibility bitmask: invisible
+    faces are *not computed at all* (the analog of the reference skipping
+    their dispatches, CSRayMarch.hlsl:101-102).  With the default camera 3
+    of 6 faces are culled -- half the march.  The engine keys its jit cache
+    on the mask, so a camera crossing a face plane just retraces.
     """
     dtype = config.render_dtype
     local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
-    vol = jnp.concatenate([grid.astype(dtype), light_map.astype(dtype)], axis=0)
+    # 4 marching channels: density + (premultiplied rgb * incident light),
+    # cast once to the matmul dtype (shared by the per-axis pooling einsums).
+    dens = grid[3:4].astype(dtype)
+    prod = grid[:3].astype(dtype) * light_map.astype(dtype)
+    vol = jnp.concatenate([dens, prod], axis=0).astype(_mxu16())
 
     if config.face_cull == FaceCullMode.NONE:
         visible = face_visibility_in_graph(local_eye)
     else:
         face_ids = jnp.arange(6, dtype=jnp.int32)
         visible = ((params.visibility_mask >> face_ids) & 1) > 0
+
+    live = [f for f in range(6)
+            if static_mask is None or (static_mask >> f) & 1]
     # One slice-axis-major volume per axis, shared by its +/- face pair
     # (the relayout dominates the march at large grids; see _axis_volume).
-    volaxes = {axis: _axis_volume(vol, axis, config) for axis in (0, 1, 2)}
+    volaxes = {axis: _axis_volume(vol, axis, config, lod)
+               for axis in sorted({_FACES[f][0] for f in live})}
+    R = max(config.cube_map_size >> lod, 1)
     faces = []
     for f in range(6):
+        if f not in live:
+            faces.append(jnp.zeros((R, R, 4), dtype))
+            continue
         face = _march_face(f, volaxes[_FACES[f][0]], local_eye,
-                           params.num_samples, config, dtype)
+                           params.num_samples, config, dtype, lod)
         faces.append(jnp.where(visible[f], face, 0.0))
     cube = jnp.stack(faces, axis=0)
 
-    for _ in range(lod):
-        r = cube.shape[1] // 2
-        cube = cube.reshape(6, r, 2, r, 2, 4).mean(axis=(2, 4))
     if config.quantize_cube_map:
         cube = quantize_unorm8(cube)
     return cube

@@ -123,13 +123,13 @@ def test_camera_orbit_changes_visible_faces_and_image():
     from fluidx12_tpu.core.state import unpack_scene_params
 
     img_front = loop.run(10).astype(int)
-    packed0, lod0 = engine.update_frame()
+    packed0, lod0, _ = engine.update_frame()
     mask0 = int(np.asarray(unpack_scene_params(packed0).visibility_mask))
 
     # Orbit half way around: different faces become visible, image changes.
     engine.camera.orbit(engine.camera.width * 0.5, 0.0)
     img_side = loop.run(2).astype(int)
-    packed1, lod1 = engine.update_frame()
+    packed1, lod1, _ = engine.update_frame()
     mask1 = int(np.asarray(unpack_scene_params(packed1).visibility_mask))
     assert mask0 != mask1
     # Most pixels are background; a small but nonzero mean shift proves the
@@ -141,12 +141,12 @@ def test_camera_orbit_changes_visible_faces_and_image():
 def test_camera_dolly_out_raises_lod():
     cfg = FluidConfig()  # full 128^3 config: only host math runs here
     engine = FluidXEngine(cfg)
-    _, lod_near = engine.update_frame()
+    _, lod_near, _ = engine.update_frame()
     for _ in range(12):
         engine.camera.dolly(-4.0)  # move far away
-    _, lod_far = engine.update_frame()
+    _, lod_far, _ = engine.update_frame()
     assert lod_far > lod_near
     # The LOD-clamped sample count also shrinks.
     from fluidx12_tpu.core.state import unpack_scene_params as _unpack
-    packed, _ = engine.update_frame()
+    packed, _, _ = engine.update_frame()
     assert int(np.asarray(_unpack(packed).num_samples)) < cfg.max_ray_samples

@@ -87,7 +87,22 @@ def test_jacobi_tuning_rejects_unaligned_tiled_halo():
     assert _plan((32, 256, 256), slab=16, inner=8) is not None
     assert _plan((32, 128, 128), slab=16, inner=4) is not None  # full plane
     assert jacobi_tuning((128, 128, 128), 64) == (32, 4)
-    assert jacobi_tuning((256, 256, 256), 64) == (16, 8)
+    # Big planes route to the plane-sweep kernel (inner=8 windows).
+    assert jacobi_tuning((256, 256, 256), 64) == (64, 8)
+
+
+def test_jacobi_planewise_plan_and_match():
+    """Planes > 128x128 use the plane-sweep kernel; must match the XLA twin."""
+    from fluidx12_tpu.ops.pallas.jacobi import _plan_planewise
+
+    assert _plan_planewise((256, 256, 256), 8) == (64, 32, 8)
+    rng = np.random.default_rng(7)
+    # Small z, big plane: engages _planewise_kernel (plane 256x192 > 128^2).
+    q = jnp.asarray(rng.standard_normal((32, 256, 192)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((32, 256, 192)).astype(np.float32))
+    ref = np.asarray(jacobi_sweeps(q, b, 8, True))
+    got = np.asarray(jacobi_pallas(q, b, 8))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
 def test_jacobi_pallas_full_plane_tall_slab():

@@ -4,13 +4,30 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 The baseline target is 60 sim+render steps/sec at 128^3 on one TPU v5e chip
 (BASELINE.md).  Extra diagnostic lines go to stderr.
 
-`python bench.py --all` additionally measures the BASELINE.json config suite
-(2D 512^2, 128^3 paths, 256^3 paths) and reports them on stderr.
+Modes (combinable):
+  python bench.py           headline only
+  python bench.py --all     + the full BASELINE.json config suite, with
+                            per-pass composed-delta ms and an HBM roofline
+                            estimate per pass (SURVEY.md section 6)
+  python bench.py --check   + TPU-vs-CPU-golden image consistency at the
+                            golden configs (the WARP-vs-hardware cross-check;
+                            pytest runs CPU-only, so this is the only place
+                            the TPU's images are verified, not just timed)
 """
 
 import json
+import os
 import sys
 import time
+
+
+def _sync(x):
+    # On the axon TPU relay, block_until_ready can return before remote
+    # execution completes; a small device->host fetch is the only reliable
+    # completion barrier (see CLAUDE.md).
+    import numpy as np
+
+    np.asarray(x.ravel()[:4])
 
 
 def main():
@@ -23,23 +40,16 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
-    import numpy as np
 
     from __graft_entry__ import entry
 
     fn, (state, params) = entry()
     step = jax.jit(fn, donate_argnums=(0,))
 
-    def sync(x):
-        # On the axon TPU relay, block_until_ready can return before remote
-        # execution completes; a small device->host fetch is the only
-        # reliable completion barrier (see CLAUDE.md).
-        np.asarray(x.ravel()[:4])
-
     # Warmup / compile.
     t0 = time.perf_counter()
     state, image = step(state, params)
-    sync(image)
+    _sync(image)
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-step: {compile_s:.1f}s", file=sys.stderr)
 
@@ -48,14 +58,14 @@ def main():
     # a short warmup would overstate throughput on a near-empty volume.
     for _ in range(300):
         state, image = step(state, params)
-    sync(image)
+    _sync(image)
 
     # Timed run with async dispatch, syncing only at the end.
     n = 100
     t0 = time.perf_counter()
     for _ in range(n):
         state, image = step(state, params)
-    sync(image)
+    _sync(image)
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = n / elapsed
@@ -69,47 +79,192 @@ def main():
 
     if "--all" in sys.argv:
         run_config_suite()
+        run_pass_breakdown()
+    if "--check" in sys.argv:
+        run_golden_check()
 
     print(json.dumps(result))
 
 
-def run_config_suite():
-    """Measure the BASELINE.json config suite; report to stderr."""
-    import jax
+def _time_engine(engine, warm=20, n=15):
     import numpy as np
 
+    img = engine.step_frame()
+    np.asarray(img.ravel()[:4])
+    for _ in range(warm):
+        img = engine.step_frame()
+    np.asarray(img.ravel()[:4])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        img = engine.step_frame()
+    np.asarray(img.ravel()[:4])
+    return (time.perf_counter() - t0) / n
+
+
+def run_config_suite():
+    """Measure every BASELINE.json config; one stderr line each."""
     from fluidx12_tpu.core.config import FluidConfig, RenderMethod
+
     from fluidx12_tpu.engine.fluidx import FluidXEngine
+
+    def gi_radiance():
+        import numpy as np
+
+        path = os.path.join(os.path.dirname(__file__), "assets", "rnl_cross.npz")
+        return np.load(path)["radiance"].astype(np.float32)
 
     cases = [
         ("Fluid2D 512^2 visualize", FluidConfig(grid_size=(512, 512, 1)),
-         RenderMethod.RAY_MARCH_SEPARATE),
+         RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
         ("Fluid3D 128^3 separate cube (OPTIMIZED)", FluidConfig(),
-         RenderMethod.RAY_MARCH_SEPARATE),
+         RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
+        ("Fluid3D 128^3 direct ray cast (screen-space)", FluidConfig(),
+         RenderMethod.RAY_MARCH_DIRECT_SEPARATE, None, 2, 3),
         ("Fluid3D 128^3 @1080p", FluidConfig(viewport=(1920, 1080)),
-         RenderMethod.RAY_MARCH_SEPARATE),
+         RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
         ("Fluid3D 256^3 separate cube", FluidConfig(grid_size=(256, 256, 256)),
-         RenderMethod.RAY_MARCH_SEPARATE),
+         RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
+        ("FluidGI SH irradiance 256^3", FluidConfig(
+            grid_size=(256, 256, 256), has_light_probe=True),
+         RenderMethod.RAY_MARCH_SEPARATE, gi_radiance, 10, 10),
     ]
-    for name, cfg, method in cases:
+    for name, cfg, method, rad, warm, n in cases:
         try:
-            engine = FluidXEngine(cfg)
+            radiance = rad() if rad is not None else None
+            engine = FluidXEngine(cfg, radiance=radiance)
             engine.render_method = method
-            img = engine.step_frame()
-            np.asarray(img.ravel()[:4])
-            for _ in range(5):
-                img = engine.step_frame()
-            np.asarray(img.ravel()[:4])
-            t0 = time.perf_counter()
-            n = 15
-            for _ in range(n):
-                img = engine.step_frame()
-            np.asarray(img.ravel()[:4])
-            dt = (time.perf_counter() - t0) / n
+            dt = _time_engine(engine, warm=warm, n=n)
             print(f"# {name}: {dt*1000:.2f} ms/step = {1/dt:.1f} steps/s",
                   file=sys.stderr)
         except Exception as e:  # keep the suite best-effort
             print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+
+
+def run_pass_breakdown(n=256):
+    """Composed-prefix pass deltas + HBM roofline % at n^3.
+
+    Jits growing prefixes of the pipeline (sim / +light / +march / +resolve
+    / +composite) and reports the delta each stage adds to the composed
+    step -- the honest number (standalone pass timings carry ~0.8 ms
+    dispatch+sync each on this relay).  Roofline % compares the delta
+    against the pass's minimum HBM bytes at the measured streaming
+    bandwidth envelope.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluidx12_tpu.core import math3d as m3
+    from fluidx12_tpu.core.camera import OrbitCamera
+    from fluidx12_tpu.core.config import FluidConfig
+    from fluidx12_tpu.core.state import default_scene_params, make_initial_state
+    from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
+    from fluidx12_tpu.render.resolve import resolve_cube
+    from fluidx12_tpu.render.slicecomp import ray_march_cube_fast
+    from fluidx12_tpu.sim.step import simulate
+    from fluidx12_tpu.utils.image import composite_premultiplied
+
+    cfg = FluidConfig(grid_size=(n, n, n))
+    cam = OrbitCamera(width=cfg.viewport[0], height=cfg.viewport[1])
+    world = m3.scaling(cfg.volume_scale)
+    wvp = world @ cam.view_proj
+    params = default_scene_params(cfg)._replace(
+        eye_pt=jnp.asarray(cam.eye), world=jnp.asarray(world),
+        world_i=jnp.asarray(m3.inverse(world)), world_view_proj=jnp.asarray(wvp),
+        world_view_proj_i=jnp.asarray(m3.inverse(wvp)),
+        screen_to_world=jnp.asarray(m3.inverse(cam.view_proj)))
+
+    from fluidx12_tpu.core.lod import gen_visibility_mask
+
+    vis_mask = gen_visibility_mask(m3.inverse(world), cam.eye)
+
+    def prefix(depth):
+        def run(state):
+            state = simulate(state, params.time_step, cfg)
+            out = state.color
+            if depth >= 1:
+                lm = render_light_map_fast(out, params, cfg)
+                out = lm
+            if depth >= 2:
+                cube = ray_march_cube_fast(state.color, params, cfg, lm,
+                                           static_mask=vis_mask)
+                out = cube
+            if depth >= 3:
+                rgba = resolve_cube(cube, params, cfg)
+                out = rgba
+            if depth >= 4:
+                bg = jnp.broadcast_to(jnp.asarray(cfg.clear_color[:3], rgba.dtype),
+                                      rgba.shape[:-1] + (3,))
+                out = composite_premultiplied(rgba, bg)
+            return state, out
+
+        return jax.jit(run, donate_argnums=(0,))
+
+    # Per-pass minimum HBM traffic (bytes), for the roofline estimate.
+    vox = n ** 3
+    half = 2  # bf16/f16 bytes
+    state_b = 7 * vox * half + vox * 4
+    sim_b = (7 * vox * half * 2 * 3        # 3 resample passes r+w (bf16)
+             + vox * 4 * 2 * (64 // 8) * 2.3  # jacobi trips, halo redundancy
+             + 5 * vox * 4)                # div/grad/damp passes
+    light_b = vox * half + 3 * vox * half * 2
+    slices = min(cfg.max_ray_samples, n)
+    march_b = 4 * vox * half + 3 * (4 * slices * n * n * half * 3)
+    resolve_b = (6 * n * n * 16 * 4 + cfg.viewport[0] * cfg.viewport[1] * 16 * 4)
+    comp_b = cfg.viewport[0] * cfg.viewport[1] * 4 * 4 * 3
+    mins = [sim_b, light_b, march_b, resolve_b, comp_b]
+    BW = 600e9  # measured streaming envelope on this chip (GB/s)
+
+    names = ["simulate", "+light map", "+cube march", "+resolve", "+composite"]
+    prev = 0.0
+    print(f"# pass breakdown @{n}^3 (composed deltas):", file=sys.stderr)
+    for depth, name in enumerate(names):
+        f = prefix(depth)
+        state = make_initial_state(cfg)
+        state, out = f(state)
+        _sync(out)
+        for _ in range(10):
+            state, out = f(state)
+        _sync(out)
+        t0 = time.perf_counter()
+        N = 15
+        for _ in range(N):
+            state, out = f(state)
+        _sync(out)
+        ms = (time.perf_counter() - t0) / N * 1000
+        delta = ms - prev
+        floor_ms = mins[depth] / BW * 1000
+        pct = 100.0 * floor_ms / max(delta, 1e-6)
+        print(f"#   {name:14s} {ms:8.2f} ms total, delta {delta:7.2f} ms, "
+              f"HBM floor {floor_ms:6.2f} ms -> {pct:5.1f}% of roofline",
+              file=sys.stderr)
+        prev = ms
+
+
+def run_golden_check():
+    """Render the golden configs on the CURRENT backend (TPU) and compare
+    against the CPU-rendered goldens in tests/goldens (loose tolerance:
+    backend math + bf16 state drift over the run)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from test_golden import CONFIGS, render_case  # noqa: E402
+
+    from fluidx12_tpu.utils.png import read_png
+
+    golden_dir = os.path.join(os.path.dirname(__file__), "tests", "goldens")
+    for name in CONFIGS:
+        try:
+            img = render_case(name).astype(np.int32)
+            golden = read_png(os.path.join(golden_dir, f"{name}.png")).astype(np.int32)
+            diff = np.abs(img - golden)
+            ok = diff.mean() < 6.0 and (diff > 60).mean() < 0.02
+            print(f"# golden-check {name}: mean {diff.mean():.2f}, "
+                  f">60 {(diff > 60).mean():.4f} -> {'OK' if ok else 'MISMATCH'}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# golden-check {name}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

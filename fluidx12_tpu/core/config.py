@@ -92,9 +92,15 @@ class FluidConfig:
     # Quantize the ray-marched cube map to 8-bit like the reference's RGBA8 target
     # (Fluid.cpp:229-232); disable for a higher-quality-than-reference float path.
     quantize_cube_map: bool = True
-    # Compute dtype for the simulation fields (f32 matches reference fidelity;
-    # fields were RGBA16F there, but the ALU math was fp32).
-    sim_dtype: jnp.dtype = jnp.float32
+    # STORAGE dtype for the persistent velocity/color fields.  The reference
+    # stores these as half-precision textures (RGBA16F, Fluid.cpp:204-216)
+    # with fp32 ALU math; bf16 is the TPU-native half-storage equivalent
+    # (Mosaic has no f16) and halves the HBM traffic of every pass that
+    # touches the state.  All arithmetic still runs in f32, with one
+    # half round-trip per frame at the state boundary -- the same
+    # quantization point as the reference's per-pass texture writes.
+    # Pressure stays f32 (ref m_incompress is R32_FLOAT, Fluid.cpp:218-221).
+    sim_dtype: jnp.dtype = jnp.bfloat16
     # Compute dtype for render-path sampling/accumulation. The reference used
     # min16float accumulation into an RGBA8 target; bf16 is the TPU analog.
     render_dtype: jnp.dtype = jnp.float32

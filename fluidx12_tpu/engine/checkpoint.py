@@ -13,12 +13,21 @@ import jax.numpy as jnp
 from fluidx12_tpu.core.state import FluidState
 
 
+def _to_numpy(x) -> np.ndarray:
+    """bf16 (ml_dtypes) has no stable .npz round-trip; widen losslessly."""
+    a = np.asarray(x)
+    if a.dtype == jnp.bfloat16:
+        return a.astype(np.float32)
+    return a
+
+
 def save_state(path: str, state: FluidState) -> None:
     np.savez_compressed(
         path,
-        velocity=np.asarray(state.velocity),
-        color=np.asarray(state.color),
-        pressure=np.asarray(state.pressure),
+        velocity=_to_numpy(state.velocity),
+        color=_to_numpy(state.color),
+        pressure=_to_numpy(state.pressure),
+        store_dtype=np.str_(str(state.velocity.dtype)),
     )
 
 
@@ -26,9 +35,11 @@ def load_state(path: str, expected_zyx=None) -> FluidState:
     """Load a checkpoint; optionally validate the grid shape up front so a
     mismatched restore fails with a clear message instead of a jit shape error."""
     with np.load(path) as data:
+        store = jnp.dtype(str(data["store_dtype"])) if "store_dtype" in data \
+            else data["velocity"].dtype
         state = FluidState(
-            velocity=jnp.asarray(data["velocity"]),
-            color=jnp.asarray(data["color"]),
+            velocity=jnp.asarray(data["velocity"], dtype=store),
+            color=jnp.asarray(data["color"], dtype=store),
             pressure=jnp.asarray(data["pressure"]),
         )
     if expected_zyx is not None and tuple(state.pressure.shape) != tuple(expected_zyx):

@@ -134,9 +134,23 @@ class FluidXEngine:
                 # so the merged method rides the same fast pipeline.
                 # Faithful paths keep the reference's distinction
                 # (fast_render=False).
-                fast = cfg.fast_render and (
+                #
+                # Point lights (_POINT_LIGHT_, RayMarch.hlsli:40): the fast
+                # sweeps assume parallel rays, so point_light auto-falls
+                # back to the faithful per-ray paths instead of silently
+                # rendering directional light (warned once at build).
+                fast = cfg.fast_render and not cfg.point_light and (
                     method.separate_light_pass or method.uses_cube_map
                 )
+                if cfg.fast_render and cfg.point_light:
+                    import warnings
+
+                    warnings.warn(
+                        "point_light=True: fast_render sweeps assume a "
+                        "directional light; using the faithful per-ray "
+                        "paths for correct point-light shadows.",
+                        stacklevel=2,
+                    )
                 light_map = None
                 if method.separate_light_pass or (fast and method.uses_cube_map):
                     if fast:

@@ -52,6 +52,7 @@ def _resample_axis(q: jax.Array, d: jax.Array, axis: int,
     rare and shallow.
     """
     n = q.shape[axis]
+    q = q.astype(jnp.float32)  # storage may be f16; tap math runs in f32
     ids = jax.lax.broadcasted_iota(
         jnp.int32, d.shape, axis if q.ndim == d.ndim else axis - 1
     )
@@ -97,11 +98,12 @@ def _pass_kernel(vol_ref, d_ref, out_ref, *, axis: int):
 
     @pl.when(calm)
     def _():
-        out_ref[...] = _resample_axis(q, d, axis=axis, max_disp=_CALM_DISP)
+        out_ref[...] = _resample_axis(
+            q, d, axis=axis, max_disp=_CALM_DISP).astype(out_ref.dtype)
 
     @pl.when(jnp.logical_not(calm))
     def _():
-        out_ref[...] = _resample_axis(q, d, axis=axis)
+        out_ref[...] = _resample_axis(q, d, axis=axis).astype(out_ref.dtype)
 
 
 # Per-tap temporaries stay live on Mosaic's 16 MB scoped-VMEM stack, so the
@@ -213,12 +215,13 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
     zi = pl.program_id(0)
     z0 = zi * slab
     d = d_ref[...]
-    win_ref[: _ZHALO] = prev_ref[0, _ZHBLK - _ZHALO:]
-    win_ref[pl.ds(_ZHALO, slab)] = cur_ref[0]
-    win_ref[pl.ds(_ZHALO + slab, _ZHALO)] = next_ref[0, :_ZHALO]
+    f32 = jnp.float32  # storage may be f16; window/tap math runs in f32
+    win_ref[: _ZHALO] = prev_ref[0, _ZHBLK - _ZHALO:].astype(f32)
+    win_ref[pl.ds(_ZHALO, slab)] = cur_ref[0].astype(f32)
+    win_ref[pl.ds(_ZHALO + slab, _ZHALO)] = next_ref[0, :_ZHALO].astype(f32)
     ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + z0  # global z
-    lo_edge = cur_ref[0, :1]   # only read at zi == 0 / last (masked elsewhere)
-    hi_edge = cur_ref[0, slab - 1:]
+    lo_edge = cur_ref[0, :1].astype(f32)   # only read at zi == 0 / last
+    hi_edge = cur_ref[0, slab - 1:].astype(f32)
     calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
     interior = (zi > 0) & (zi < pl.num_programs(0) - 1)
 
@@ -235,7 +238,7 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
             w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)
             val = win_ref[pl.ds(_ZHALO + a, slab)]
             out = out + clamp(val, a, masked) * w
-        out_ref[0] = out
+        out_ref[0] = out.astype(out_ref.dtype)
 
     def heavy_path(masked):
         def tap(ai, out):
@@ -245,7 +248,7 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
             return out + clamp(val, a, masked) * w
 
         out_ref[0] = jax.lax.fori_loop(
-            0, 2 * MAX_DISP + 2, tap, jnp.zeros_like(d))
+            0, 2 * MAX_DISP + 2, tap, jnp.zeros_like(d)).astype(out_ref.dtype)
 
     @pl.when(calm & interior)
     def _():
@@ -308,7 +311,7 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool):
         out_specs=pl.BlockSpec(blk, lambda zi, yi, ci: (ci, zi, yi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((slab + 2 * _ZHALO, ytile, nx), vol.dtype)],
+            pltpu.VMEM((slab + 2 * _ZHALO, ytile, nx), jnp.float32)],
         interpret=interpret,
     )(vol, vol, vol, disp)
 
@@ -324,16 +327,22 @@ def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
     interpret = jax.default_backend() == "cpu"
 
     def clip_disp(u, scale):
-        return jnp.clip(-u * scale, -float(MAX_DISP), float(MAX_DISP))
+        # Displacements are always f32, whatever the storage dtype.
+        return jnp.clip(-u.astype(jnp.float32) * scale,
+                        -float(MAX_DISP), float(MAX_DISP))
+
+    def xla_1d(vol, d, axis):
+        # XLA-twin fallback computes in f32 and restores the storage dtype.
+        return _advect_1d(vol.astype(jnp.float32), d, axis).astype(vol.dtype)
 
     # Pass x (lanes).
     out = _run_pass(both, clip_disp(both[0], dt * x), axis=3, interpret=interpret)
     if out is None:
-        out = _advect_1d(both, -both[0] * dt * x, axis=3)
+        out = xla_1d(both, clip_disp(both[0], dt * x), axis=3)
     # Pass y (sublanes) with the x-advected u_y.
     out2 = _run_pass(out, clip_disp(out[1], dt * y), axis=2, interpret=interpret)
     if out2 is None:
-        out2 = _advect_1d(out, -out[1] * dt * y, axis=2)
+        out2 = xla_1d(out, clip_disp(out[1], dt * y), axis=2)
     out = out2
     if not config.is_3d:
         return out
@@ -348,5 +357,5 @@ def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
     dz_t = jnp.transpose(clip_disp(out[2], dt * z), (2, 1, 0))  # (X, Y, Z)
     out_t = _run_pass(zt, dz_t, axis=3, interpret=interpret)
     if out_t is None:
-        return _advect_1d(out, -out[2] * dt * z, axis=1)
+        return xla_1d(out, clip_disp(out[2], dt * z), axis=1)
     return jnp.transpose(out_t, (0, 3, 2, 1))

@@ -219,9 +219,13 @@ def sharded_simulate(state: FluidState, time_step, config: FluidConfig, mesh: Me
     )
     def step(velocity, color, pressure, dt):
         dt = dt.reshape(())
-        vel, col = _sharded_advect(velocity, color, dt, config)
+        store = velocity.dtype
+        # Match the single-device semantics (sim/step.py): f32 arithmetic
+        # whatever the storage dtype, quantize once at the state boundary.
+        vel, col = _sharded_advect(velocity.astype(jnp.float32),
+                                   color.astype(jnp.float32), dt, config)
         vel, q = _sharded_project(vel, pressure, dt, config)
-        return vel, col, q
+        return vel.astype(store), col.astype(store), q
 
     dt_arr = jnp.asarray(time_step, jnp.float32).reshape(1)
     vel, col, q = step(state.velocity, state.color, state.pressure, dt_arr)

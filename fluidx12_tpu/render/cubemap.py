@@ -45,6 +45,7 @@ def ray_march_cube(
     """March the volume into a (6, R, R, 4) cube map, R = cube_map_size >> lod."""
     size = max(config.cube_map_size >> lod, 1)
     dtype = config.render_dtype
+    grid = grid.astype(dtype)  # storage may be f16; march math in render dtype
     env = make_light_env(params, sh_coeffs, config)
 
     # Local-space eye (CSRayMarch.hlsl:104: mul(eyePt, worldI)).

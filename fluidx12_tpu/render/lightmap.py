@@ -43,6 +43,7 @@ def render_light_map(
     env = make_light_env(params, sh_coeffs, config)
     z, y, x = config.zyx
     dtype = config.render_dtype
+    grid = grid.astype(dtype)  # storage may be f16
 
     # Voxel centers in local space [-1, 1] (CSRayMarchL.hlsl:20-22).
     gx = ((jnp.arange(x, dtype=dtype) + 0.5) / x) * 2.0 - 1.0

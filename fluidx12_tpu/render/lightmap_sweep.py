@@ -63,6 +63,7 @@ def directional_transmittance(
     major_axis: int,          # static: 0 (x), 1 (y) or 2 (z)
     ref_step: jax.Array,      # reference nominal step (for normalization)
     absorption: float,
+    flip: Optional[bool] = None,  # static sign of light_dir[major_axis], if known
 ) -> jax.Array:
     """Per-voxel transmittance toward the light; returns (Z, Y, X).
 
@@ -81,29 +82,36 @@ def directional_transmittance(
     sizes = (x, y, z)
     arr_axis = {0: 2, 1: 1, 2: 0}[major_axis]
     n_m = sizes[major_axis]
-
-    dens = jnp.moveaxis(density, arr_axis, 0)  # (n_m, A, B)
     rem = [a for a in (0, 1, 2) if a != arr_axis]
     arr_to_local = {0: 2, 1: 1, 2: 0}
     rem_local = [arr_to_local[a] for a in rem]
 
     l_m = light_dir[major_axis]
     sign_pos = l_m > 0
-    # Order slices so index 0 is nearest the light.
-    dens_o = jnp.where(sign_pos, dens[::-1], dens)
 
     # Cap sweep slices at 2x the light-sample budget (the reference uses at
     # most max_light_samples = 64 shadow samples per ray; the sweep's native
     # resolution would exceed that spec on large grids for no visual gain).
+    # The slice-major relayout + box pooling is one matmul contracting the
+    # major axis (cf. slicecomp._axis_volume: no full-volume transpose),
+    # with the light-to-far ordering folded into the pooling matrix when the
+    # major-axis sign is known at trace time (`flip`).
     stride = max(-(-n_m // 128), 1)
-    if stride > 1:
-        n_s = n_m // stride
-        dens_o = dens_o[: n_s * stride].reshape(
-            n_s, stride, dens_o.shape[1], dens_o.shape[2]
-        ).mean(axis=1)
-        n_m_sw = n_s
-    else:
-        n_m_sw = n_m
+    n_s = n_m // stride
+    pool = jnp.zeros((n_m, n_s), dtype).at[
+        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
+    ].set(1.0 / stride)
+    if flip is not None and flip:
+        pool = pool[:, ::-1]  # slice 0 = nearest the light (+ side)
+    from fluidx12_tpu.render.slicecomp import _mxu16
+
+    mx = _mxu16()
+    eq = {0: "zyx,xm->mzy", 1: "zyx,ym->mzx", 2: "zyx,zm->myx"}[major_axis]
+    dens_o = jnp.einsum(eq, density.astype(mx), pool.astype(mx),
+                        preferred_element_type=jnp.float32).astype(dtype)
+    if flip is None:
+        dens_o = jnp.where(sign_pos, dens_o[::-1], dens_o)
+    n_m_sw = n_s
 
     n_a = dens_o.shape[1]
     n_b = dens_o.shape[2]
@@ -159,10 +167,22 @@ def directional_transmittance(
     log_t = jnp.einsum("kbv,kav->kab", uw_b, out)
 
     transm = jnp.exp(jnp.minimum(log_t, 0.0))
+    if flip is not None:
+        # Upsample (piecewise-constant within a pooled group -- the shadow
+        # is an integral quantity; banding is sub-visual at these strides),
+        # unflip, and relayout back to (Z, Y, X) in ONE matmul, the
+        # transpose of the pooling above.
+        up = jnp.zeros((n_s, n_m), dtype).at[
+            jnp.repeat(jnp.arange(n_s), stride), jnp.arange(n_s * stride)
+        ].set(1.0)
+        if n_s * stride < n_m:  # tail voxels extend the last group
+            up = up.at[n_s - 1, n_s * stride:].set(1.0)
+        if flip:
+            up = up[::-1]
+        eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx", 2: "myx,mz->zyx"}[major_axis]
+        return jnp.einsum(eq_up, transm.astype(mx), up.astype(mx),
+                          preferred_element_type=jnp.float32).astype(dtype)
     if stride > 1:
-        # Back to full slice resolution: piecewise-constant within a pooled
-        # group (the shadow is an integral quantity; banding is sub-visual
-        # at these strides).
         transm = jnp.repeat(transm, stride, axis=0)
         if transm.shape[0] < n_m:
             pad = n_m - transm.shape[0]
@@ -189,15 +209,19 @@ def render_light_map_fast(
 
     local_light = transform_vector(params.light_pt, params.world_i)
     light_dir = (local_light / jnp.linalg.norm(local_light)).astype(dtype)
+    flip = None
     if major_axis is None:
         # Host-static choice from the config's fixed light (world is a pure
-        # scale, so the local direction equals the world direction).
+        # scale, so the local direction equals the world direction); the
+        # major-axis sign is then static too, letting the sweep fold the
+        # light-to-far ordering into its pooling matmul.
         lp = np.asarray(config.light_pos, np.float32)
         major_axis = int(np.argmax(np.abs(lp)))
+        flip = bool(lp[major_axis] > 0)
 
     ref_step = MAX_DIST / params.num_light_samples.astype(dtype)
     shadow = directional_transmittance(
-        density, light_dir, major_axis, ref_step, config.absorption
+        density, light_dir, major_axis, ref_step, config.absorption, flip=flip
     )
 
     env_light = params.light_color[:3] * params.light_color[3]
@@ -233,7 +257,7 @@ def render_light_map_fast(
         for ax, sgn in _AXIS_SWEEPS:
             d6 = jnp.zeros(3, dtype).at[ax].set(float(sgn))
             sweeps.append(directional_transmittance(
-                density, d6, ax, ref_step, config.absorption))
+                density, d6, ax, ref_step, config.absorption, flip=sgn > 0))
         sweeps = jnp.stack(sweeps, axis=-1)  # (Z, Y, X, 6)
         comp = jnp.stack([
             jnp.maximum(grad[..., 0], 0.0), jnp.maximum(-grad[..., 0], 0.0),

@@ -38,6 +38,7 @@ def ray_cast_direct(
     """
     h, w = config.viewport[1], config.viewport[0]
     dtype = config.render_dtype
+    grid = grid.astype(dtype)  # storage may be f16; march math in render dtype
     env = make_light_env(params, sh_coeffs, config)
 
     ju = (jnp.arange(w, dtype=dtype) + 0.5) / w

@@ -40,7 +40,7 @@ def _voxel_centers(config: FluidConfig, dtype) -> jax.Array:
 
 
 def apply_impulse_forces(
-    u_new: jax.Array,  # (Z, Y, X, 3)
+    u_new: jax.Array,  # (3, Z, Y, X)
     c_new: jax.Array,  # (4, Z, Y, X)
     time_step: jax.Array,
     config: FluidConfig,
@@ -48,42 +48,59 @@ def apply_impulse_forces(
     """Impulse injection + forces + saturation + dissipation, shared by both
     advection implementations (CSAdvect.hlsl:57-78, Impulse.hlsli).
 
+    Channel-leading layout throughout: a (Z, Y, X, 3) trailing-component
+    array tiles terribly on TPU (the last two dims carry the (8, 128)
+    layout, so a 3-wide minor dim pads ~42x if it ever materializes).
+
     Returns (velocity (3, Z, Y, X), color (4, Z, Y, X)), attenuated.
     """
     dtype = c_new.dtype
     dt = jnp.asarray(time_step, dtype)
-    pos = _voxel_centers(config, dtype)  # (Z, Y, X, 3)
+    z, y, x = config.zyx
+    # Broadcastable per-axis simulation-space coordinates (index + 0.5)/size,
+    # mirroring GridToSimulationSpace (Simulation.hlsli:7-10).
+    cx = ((jnp.arange(x, dtype=dtype) + 0.5) / x).reshape(1, 1, x)
+    cy = ((jnp.arange(y, dtype=dtype) + 0.5) / y).reshape(1, y, 1)
+    cz = ((jnp.arange(z, dtype=dtype) + 0.5) / z).reshape(z, 1, 1)
+    ip = jnp.asarray(config.impulse_pos, dtype)
+    dx, dy, dz = cx - ip[0], cy - ip[1], cz - ip[2]
 
-    disp = pos - jnp.asarray(config.impulse_pos, dtype)
     radius = config.impulse_radius if config.is_3d else config.impulse_radius * 0.5
-    d2 = jnp.sum(disp * disp, axis=-1)
+    d2 = dx * dx + dy * dy + dz * dz  # (Z, Y, X) by broadcast
     basis = jnp.exp(-4.0 * d2 / (radius * radius))
     in_impulse = basis >= jnp.exp(jnp.asarray(-4.0, dtype))
 
-    ext = jnp.asarray(config.ext_force, dtype) * basis[..., None]
+    force = jnp.asarray(config.ext_force, dtype)
     if config.is_3d:
-        vort = (
-            jnp.stack([-disp[..., 2], jnp.zeros_like(d2), disp[..., 0]], axis=-1)
-            * config.vort_scale
-        )
-        ext = ext * config.force_scale_3d + vort
-    u_new = u_new + jnp.where(in_impulse[..., None], ext * dt, 0.0)
+        fs = config.force_scale_3d
+        ext = [
+            force[0] * fs * basis + (-dz) * config.vort_scale,
+            force[1] * fs * basis,
+            force[2] * fs * basis + dx * config.vort_scale,
+        ]
+    else:
+        ext = [force[0] * basis, force[1] * basis, force[2] * basis]
+    zero = jnp.asarray(0.0, dtype)
+    u_new = jnp.stack(
+        [u_new[i] + jnp.where(in_impulse, ext[i] * dt, zero) for i in range(3)],
+        axis=0,
+    )
 
     impulse_rgba = (
         jnp.asarray((*config.impulse_color, 1.0), dtype) * config.impulse_density
     )
-    dye = impulse_rgba[:, None, None, None] * (basis * dt)[None]
-    c_new = jnp.clip(c_new + jnp.where(in_impulse[None], dye, 0.0), 0.0, 1.0)
+    dye_t = jnp.where(in_impulse, basis * dt, zero)
+    c_new = jnp.clip(c_new + impulse_rgba[:, None, None, None] * dye_t[None],
+                     0.0, 1.0)
 
     if not config.pre_multiplied:
         # Un-premultiplied storage (ref: CSAdvect.hlsl:70-72).
         a = c_new[3:4]
-        c_new = c_new.at[:3].set(jnp.where(a > 0.0, c_new[:3] / a, c_new[:3]))
+        c_new = jnp.concatenate(
+            [jnp.where(a > 0.0, c_new[:3] / a, c_new[:3]), a], axis=0)
 
     atten = jnp.maximum(1.0 - config.dissipation * dt, 0.0)
-    u_out = jnp.moveaxis(u_new, -1, 0) * atten  # (3, Z, Y, X)
-    c_out = c_new * atten
-    return u_out.astype(dtype), c_out.astype(dtype)
+    return (u_new * atten).astype(dtype), (c_new * atten).astype(dtype)
 
 
 def advect(
@@ -92,7 +109,12 @@ def advect(
     time_step: jax.Array,
     config: FluidConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One advection step. velocity (3, Z, Y, X), color (4, Z, Y, X)."""
+    """One advection step. velocity (3, Z, Y, X), color (4, Z, Y, X).
+
+    Computes in f32 whatever the storage dtype (the reference samples
+    RGBA16F textures with fp32 ALU math)."""
+    velocity = velocity.astype(jnp.float32)
+    color = color.astype(jnp.float32)
     dtype = velocity.dtype
     dt = jnp.asarray(time_step, dtype)
     pos = _voxel_centers(config, dtype)  # (Z, Y, X, 3)
@@ -102,7 +124,4 @@ def advect(
     adv = pos - u * dt
     both = jnp.concatenate([velocity, color], axis=0)  # (7, Z, Y, X)
     sampled = trilinear_sample(both, adv, mode=AddressMode.MIRROR)
-    u_new = jnp.moveaxis(sampled[:3], 0, -1)  # (Z, Y, X, 3)
-    c_new = sampled[3:]                       # (4, Z, Y, X)
-
-    return apply_impulse_forces(u_new, c_new, time_step, config)
+    return apply_impulse_forces(sampled[:3], sampled[3:], time_step, config)

@@ -98,15 +98,19 @@ def advect_fast(
     the reference's ~12-voxel CFL.
     """
     n_sub = max(int(getattr(config, "advect_substeps", 2)), 1)
-    dtype = velocity.dtype
-    dt_full = jnp.asarray(time_step, dtype)
+    dt_full = jnp.asarray(time_step, jnp.float32)
 
-    both = jnp.concatenate([velocity, color], axis=0)  # (7, Z, Y, X)
     use_kernel = (
         config.use_pallas
         and config.pallas_advect
         and jax.default_backend() == "tpu"
     )
+    both = jnp.concatenate([velocity, color], axis=0)  # (7, Z, Y, X)
+    if not use_kernel:
+        # The XLA twin computes in f32 regardless of storage dtype.
+        both = both.astype(jnp.float32)
+    # The Pallas kernels stream blocks in the storage dtype (f16 state =
+    # half the pass DMA) and do all tap arithmetic in f32 in VMEM.
     for _ in range(n_sub):
         if use_kernel:
             from fluidx12_tpu.ops.pallas.advect import backtrace_pallas
@@ -114,6 +118,5 @@ def advect_fast(
             both = backtrace_pallas(both, dt_full / n_sub, config)
         else:
             both = _backtrace_split(both, dt_full / n_sub, config)
-    u_new = jnp.moveaxis(both[:3], 0, -1)  # (Z, Y, X, 3)
-    c_new = both[3:]
-    return apply_impulse_forces(u_new, c_new, dt_full, config)
+    both = both.astype(jnp.float32)
+    return apply_impulse_forces(both[:3], both[3:], dt_full, config)

@@ -150,3 +150,28 @@ def test_camera_dolly_out_raises_lod():
     from fluidx12_tpu.core.state import unpack_scene_params as _unpack
     packed, _, _ = engine.update_frame()
     assert int(np.asarray(_unpack(packed).num_samples)) < cfg.max_ray_samples
+
+
+def test_point_light_falls_back_to_faithful_paths():
+    """point_light + fast_render must not silently render directional light:
+    the engine falls back to the faithful per-ray paths (VERDICT r1 item 7;
+    ref _POINT_LIGHT_, RayMarch.hlsli:40, CSRayMarch.hlsl:131)."""
+    import dataclasses
+    import warnings
+
+    base = FluidConfig(grid_size=(16, 16, 16), viewport=(32, 32),
+                       max_ray_samples=8, max_light_samples=4,
+                       num_pressure_iters=4, point_light=True)
+    imgs = {}
+    for fast in (True, False):
+        cfg = dataclasses.replace(base, fast_render=fast)
+        engine = FluidXEngine(cfg)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            loop = FrameLoop(engine, show_fps=False)
+            img = loop.run(6)
+        if fast:
+            assert any("point_light" in str(x.message) for x in w)
+        imgs[fast] = img.astype(np.int32)
+    # Both configs ride the same faithful path -> identical frames.
+    np.testing.assert_array_equal(imgs[True], imgs[False])

@@ -70,9 +70,10 @@ def test_fast_light_map_matches_faithful():
     mask = d > 0.02
     rel = np.abs(fast[0][mask] - slow[0][mask]) / (np.abs(slow[0][mask]) + 1e-3)
     # Sampling patterns differ (slice midpoints vs fixed-step marching with
-    # adaptive growth), so allow moderate tolerance; the mean must be tight.
-    assert rel.mean() < 0.15, rel.mean()
-    assert np.corrcoef(fast[0][mask], slow[0][mask])[0, 1] > 0.9
+    # adaptive growth), so allow moderate pointwise tolerance; the mean must
+    # be tight enough to catch a brightness regression (VERDICT r1 item 8).
+    assert rel.mean() < 0.08, rel.mean()
+    assert np.corrcoef(fast[0][mask], slow[0][mask])[0, 1] > 0.93
 
 
 def test_fast_cube_march_matches_faithful_image():

@@ -54,12 +54,34 @@ CONFIGS = {
         method=RenderMethod.RAY_MARCH_DIRECT_MERGED,
         frames=35,
     ),
+    # Merged cube-map method (CSRayMarch: per-sample shadow rays)
+    "fluid3d_merged": dict(
+        config=FluidConfig(grid_size=(24, 24, 24), viewport=(64, 64),
+                           max_ray_samples=32, max_light_samples=8,
+                           num_pressure_iters=16),
+        method=RenderMethod.RAY_MARCH_MERGED,
+        frames=35,
+    ),
+    # GI path: bundled light probe -> SH irradiance + environment sky
+    # (FluidGI.bat analog, small)
+    "fluidgi": dict(
+        config=FluidConfig(grid_size=(24, 24, 24), viewport=(64, 64),
+                           max_ray_samples=32, max_light_samples=8,
+                           num_pressure_iters=16, has_light_probe=True),
+        method=RenderMethod.RAY_MARCH_SEPARATE,
+        frames=35,
+        radiance="assets/rnl_cross.npz",
+    ),
 }
 
 
 def render_case(name):
     case = CONFIGS[name]
-    engine = FluidXEngine(case["config"])
+    radiance = None
+    if case.get("radiance"):
+        path = os.path.join(os.path.dirname(__file__), "..", case["radiance"])
+        radiance = np.load(path)["radiance"].astype(np.float32)
+    engine = FluidXEngine(case["config"], radiance=radiance)
     engine.render_method = case["method"]
     loop = FrameLoop(engine, show_fps=False)
     return loop.run(case["frames"])
@@ -89,6 +111,14 @@ def test_golden_fluid3d_separate():
 
 def test_golden_fluid3d_direct():
     _check("fluid3d_direct")
+
+
+def test_golden_fluid3d_merged():
+    _check("fluid3d_merged")
+
+
+def test_golden_fluidgi():
+    _check("fluidgi")
 
 
 if __name__ == "__main__":

@@ -275,6 +275,11 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool):
     fetched once per (z, y).  Returns None if the shape doesn't tile.
     """
     c, nz, ny, nx = vol.shape
+    if nx % 128:
+        # Lane dim below/unaligned to the 128-lane tile: the in-kernel
+        # window slices fail Mosaic's alignment rule (seen at 24^3 on
+        # hardware -- interpret mode does not enforce it).
+        return None
     slab = 32
     while slab > 1 and nz % slab:
         slab //= 2

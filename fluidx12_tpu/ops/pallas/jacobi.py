@@ -300,6 +300,12 @@ def jacobi_tuning(shape, iters: int):
     _planewise_kernel).
     """
     nz, ny, nx = shape
+    if nx % 128:
+        # Both kernels window the volume with manual DMA slices, which
+        # Mosaic requires to be 128-lane aligned (fails at e.g. 24^3 on
+        # hardware; interpret mode does not enforce it).  Unaligned grids
+        # take the XLA sweeps -- they are small enough not to matter.
+        return None
     if ny * nx <= 128 * 128:
         for slab, inner in ((32, 4), (16, 8)):
             if iters % inner == 0 and _plan(shape, slab, inner) is not None:

@@ -1,25 +1,38 @@
-"""Sharded rendering: light map and cube march distributed over the mesh.
+"""Sharded rendering: per-shard marching with transmittance composition.
 
-Round-1 decomposition (see SURVEY.md section 5.7 for the roadmap):
+Decomposition (SURVEY.md section 5.7 -- the rendering analog of ring
+attention), replacing round 1's full-volume all-gather (O(N^3) ICI bytes and
+O(N^3) per-device memory every frame):
 
-- the *light map* is computed slab-parallel: each device holds its Z-slab of
-  the grid (from the sharded sim step), all-gathers the density over ICI
-  (one (Z,Y,X) array per frame; cheap at bf16) and computes its own slab of
-  the light map with the dense sweep -- output stays Z-sharded,
-- the *cube-map march* is face-parallel: faces are assigned round-robin to
-  devices; each device marches its faces against the gathered volume and the
-  results combine with a psum (devices beyond 6 faces contribute zeros).
+- **light map**: the directional sweep toward a tilted light mixes Z rows
+  laterally (rays spread across slabs), so it cannot be slab-local; instead
+  only the 1-channel DENSITY is all-gathered (bf16: 1/14th of the round-1
+  volume gather) and the sweep runs replicated; each shard keeps its own
+  Z-slab of the result.  GI ambient (probe) is not yet sharded.
 
-The fully-sharded marcher (per-shard compositing with transmittance
-composition over ICI -- the rendering analog of ring attention) is the
-planned upgrade; this version keeps collectives to two all-gathers and one
-psum per frame.
+- **Z-axis cube faces (+Z/-Z)**: the march slices along Z, so each shard
+  composites its own contiguous slice block locally (1/n of the work) and
+  emits a partial premultiplied image + its block transmittance.  Blocks
+  combine front-to-back with the OVER operator after one all_gather of
+  (R, R, 5) images -- comm is O(face area), not O(volume).
+
+- **X/Y-axis cube faces**: their march slices are lateral, but the FIRST
+  resample contraction runs over Z (the sharded dim), so each shard
+  contracts its Z rows against its slice of the interpolation weights and
+  one psum of the (4, n_s, R, lat) partial product completes the resample.
+  The second resample + compositing are replicated (tiny: one einsum + an
+  (n_s, R, R) cumprod).
+
+Per-frame ICI traffic at 256^3 / 8 devices: density gather 33 MB + 2 psums
+x 33 MB + 2 image gathers x 2.5 MB ~= 105 MB, vs 470 MB gathered -- and
+per-device memory stays O(N^3/n) + one density-sized temp.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -30,8 +43,15 @@ from fluidx12_tpu.ops.transform import transform_point_h
 from fluidx12_tpu.parallel.mesh import Z_AXIS
 from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
 from fluidx12_tpu.render.resolve import resolve_cube
-from fluidx12_tpu.render.slicecomp import _march_face
+from fluidx12_tpu.render.slicecomp import _FACES, _march_face, _mxu16
 from fluidx12_tpu.utils.image import quantize_unorm8
+
+
+def _pool_matrix(n_m: int, n_s: int, stride: int, dtype):
+    """Box-pooling matrix (n_m, n_s), same construction as _axis_volume."""
+    return jnp.zeros((n_m, n_s), dtype).at[
+        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
+    ].set(1.0 / stride)
 
 
 def sharded_render_frame(
@@ -41,6 +61,16 @@ def sharded_render_frame(
     mesh: Mesh,
 ) -> jax.Array:
     """Render the (H, W, 4) premultiplied frame from a Z-sharded grid."""
+    x, y, z = config.grid_size
+    sizes = (x, y, z)
+    cap = max(config.max_ray_samples, 1)
+    strides = {a: max(-(-sizes[a] // cap), 1) for a in range(3)}
+    n_dev = mesh.devices.size
+    zl = z // n_dev
+    # Z faces slice-parallelize only when shard boundaries align with pooled
+    # slice groups; tiny/odd shapes keep the simple gathered fallback.
+    if zl % strides[2] or zl < strides[2]:
+        return _gathered_render_frame(grid, params, config, mesh)
 
     @functools.partial(
         jax.shard_map,
@@ -52,28 +82,98 @@ def sharded_render_frame(
     def render(grid_local):
         n = jax.lax.axis_size(Z_AXIS)
         idx = jax.lax.axis_index(Z_AXIS)
-
-        # Full grid on every device (ICI all-gather along the ring).
-        grid_full = jax.lax.all_gather(grid_local, Z_AXIS, axis=1, tiled=True)
-
-        # Light map: full-volume sweep, cheap and dense; each device keeps
-        # the full result (the sweep is bandwidth-light after gathering).
-        light_map = render_light_map_fast(grid_full, params, config, None)
-
         dtype = config.render_dtype
+        mx = _mxu16()
         local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
+
+        # Light map from the gathered density (1 channel; the sweep's shear
+        # mixes Z rows, so it cannot run slab-local); keep my slab only.
+        dens_full = jax.lax.all_gather(
+            grid_local[3:4].astype(mx), Z_AXIS, axis=1, tiled=True)
+        light_full = render_light_map_fast(
+            dens_full.astype(dtype), params, config, None)
+        light_local = jax.lax.dynamic_slice_in_dim(
+            light_full, idx * zl, zl, axis=1)
+
         # March channels: density + premultiplied rgb * light (see slicecomp).
         vol = jnp.concatenate(
-            [grid_full[3:4].astype(dtype),
-             grid_full[:3].astype(dtype) * light_map.astype(dtype)], axis=0
-        )
+            [grid_local[3:4].astype(dtype),
+             grid_local[:3].astype(dtype) * light_local.astype(dtype)],
+            axis=0).astype(mx)
 
         face_ids = jnp.arange(6, dtype=jnp.int32)
         visible = ((params.visibility_mask >> face_ids) & 1) > 0
 
-        # Face-parallel march: device d computes faces f with f % n == d.
-        from fluidx12_tpu.render.slicecomp import _FACES, _axis_volume
+        faces = []
+        for f in range(6):
+            axis, sign = _FACES[f][0], _FACES[f][1]
+            stride = strides[axis]
+            if axis == 2:
+                # Slice-parallel: pool my slab, march my slice block,
+                # compose partials front-to-back across shards.
+                n_sl = zl // stride
+                pool = _pool_matrix(zl, n_sl, stride, mx)
+                volf = jnp.einsum("czyx,zm->cmyx", vol, pool,
+                                  preferred_element_type=jnp.float32).astype(mx)
+                part, t_tot = _march_face(
+                    f, volf, local_eye, params.num_samples, config, dtype,
+                    slice_start=idx * n_sl, partial=True)
+                parts = jax.lax.all_gather(
+                    jnp.concatenate([part, t_tot[..., None]], axis=-1),
+                    Z_AXIS)                       # (n, R, R, 5)
+                order = range(n) if sign > 0 else range(n - 1, -1, -1)
+                face = jnp.zeros_like(part)
+                transm = jnp.ones_like(t_tot)
+                for i in order:
+                    face = face + transm[..., None] * parts[i, ..., :4]
+                    transm = transm * parts[i, ..., 4]
+            else:
+                # Lateral-axis face: pool over the (local-full) major axis,
+                # split the Z-row contraction across shards, one psum.
+                n_m = sizes[axis]
+                n_sl = n_m // stride
+                pool = _pool_matrix(n_m, n_sl, stride, mx)
+                eq = {1: "czyx,ym->cmzx", 0: "czyx,xm->cmzy"}[axis]
+                volf = jnp.einsum(eq, vol, pool,
+                                  preferred_element_type=jnp.float32).astype(mx)
+                face = _march_face(
+                    f, volf, local_eye, params.num_samples, config, dtype,
+                    row_start=idx * zl, psum_axis=Z_AXIS)
+            faces.append(jnp.where(visible[f], face, 0.0))
+        cube = jnp.stack(faces, axis=0)
+        if config.quantize_cube_map:
+            cube = quantize_unorm8(cube)
 
+        return resolve_cube(cube, params, config)
+
+    return render(grid)
+
+
+def _gathered_render_frame(grid, params, config, mesh):
+    """Fallback: all-gather the volume and render face-parallel (round-1
+    scheme); used only when shard boundaries don't align with slice pools."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, Z_AXIS, None, None),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def render(grid_local):
+        from fluidx12_tpu.render.slicecomp import _axis_volume
+
+        n = jax.lax.axis_size(Z_AXIS)
+        idx = jax.lax.axis_index(Z_AXIS)
+        grid_full = jax.lax.all_gather(grid_local, Z_AXIS, axis=1, tiled=True)
+        light_map = render_light_map_fast(grid_full, params, config, None)
+        dtype = config.render_dtype
+        local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
+        vol = jnp.concatenate(
+            [grid_full[3:4].astype(dtype),
+             grid_full[:3].astype(dtype) * light_map.astype(dtype)], axis=0)
+        face_ids = jnp.arange(6, dtype=jnp.int32)
+        visible = ((params.visibility_mask >> face_ids) & 1) > 0
         volaxes = {axis: _axis_volume(vol, axis, config) for axis in (0, 1, 2)}
         faces = []
         for f in range(6):
@@ -81,11 +181,9 @@ def sharded_render_frame(
                                params.num_samples, config, dtype)
             mine = (f % n) == idx
             faces.append(jnp.where(mine & visible[f], face, 0.0))
-        cube = jnp.stack(faces, axis=0)
-        cube = jax.lax.psum(cube, Z_AXIS)
+        cube = jax.lax.psum(jnp.stack(faces, axis=0), Z_AXIS)
         if config.quantize_cube_map:
             cube = quantize_unorm8(cube)
-
         return resolve_cube(cube, params, config)
 
     return render(grid)

@@ -136,7 +136,11 @@ def _march_face(
     config: FluidConfig,
     dtype,
     lod: int = 0,
-) -> jax.Array:
+    slice_start=None,       # traced global index of volf's first slice (sharded)
+    row_start=None,         # traced global start of volf dim 2 (sharded rows)
+    psum_axis=None,         # mesh axis to psum the row contraction over
+    partial: bool = False,  # also return the block's total transmittance
+):
     """March one cube face in bulk; returns (R_eff, R_eff, 4), R_eff = R >> lod.
 
     Face orientation is folded into cheap per-face work instead of volume
@@ -155,6 +159,14 @@ def _march_face(
     LOD marches the face at mip resolution directly with a proportionally
     reduced slice budget, mirroring the reference's mip-scaled dispatch
     (Fluid.cpp:852-854) instead of marching full-res and downsampling.
+
+    Sharded use (parallel/render.py): `slice_start` marches a contiguous
+    sub-range of slices (this shard's Z-slab, for faces whose march axis is
+    Z) -- `partial=True` then also returns the block's total transmittance
+    so blocks compose front-to-back across shards with the OVER operator.
+    `row_start`/`psum_axis` instead split the first lateral contraction
+    across shards (for X/Y faces, whose lateral dim 2 is the sharded Z) and
+    reduce the partial products with one psum.
     """
     axis, sign, (ua, us), (va, vs) = _FACES[face_id]
     z, y, x = config.zyx
@@ -171,7 +183,9 @@ def _march_face(
 
     # Slice coordinates in natural ascending order; parametric position of
     # each slice along eye->face (s in (0, 1] marks slices in front).
-    cell = ((jnp.arange(n_s, dtype=dtype) * stride + 0.5 * stride) / n_m) * 2.0 - 1.0
+    idx0 = jnp.asarray(0 if slice_start is None else slice_start, dtype)
+    cell = (((idx0 + jnp.arange(n_s, dtype=dtype)) * stride + 0.5 * stride)
+            / n_m) * 2.0 - 1.0
     denom = jnp.asarray(float(sign), dtype) - e_m
     denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
     s = (cell - e_m) / denom  # (n_s,)
@@ -191,6 +205,10 @@ def _march_face(
 
     w_rows = w_for(rem_local[0])  # resamples volf dim 2
     w_cols = w_for(rem_local[1])  # resamples volf dim 3
+    if row_start is not None:
+        # volf dim 2 is this shard's row range; slice the weights to match.
+        w_rows = jax.lax.dynamic_slice_in_dim(
+            w_rows, row_start, volf.shape[2], axis=2)
 
     # Bulk separable resample on the MXU: (4, n_s, A, B) -> (4, n_s, R, R).
     # bf16 inputs with f32 accumulation double MXU throughput, and bf16
@@ -198,8 +216,13 @@ def _march_face(
     # inputs are smooth imagery (densities/lit colors) where bf16's 8-bit
     # mantissa is below the 8-bit output quantization.
     mx = _mxu16()
-    t1 = jnp.einsum("mrv,cmvu->cmru", w_rows.astype(mx), volf.astype(mx),
-                    preferred_element_type=jnp.float32).astype(mx)
+    t1f = jnp.einsum("mrv,cmvu->cmru", w_rows.astype(mx), volf.astype(mx),
+                     preferred_element_type=jnp.float32)
+    if psum_axis is not None:
+        # Partial row contraction: reduce across shards (f32, before the
+        # half cast) -- the only collective of the X/Y-face march.
+        t1f = jax.lax.psum(t1f, psum_axis)
+    t1 = t1f.astype(mx)
     res = jnp.einsum("msu,cmru->cmrs", w_cols.astype(mx), t1,
                      preferred_element_type=jnp.float32).astype(mx)
 
@@ -254,6 +277,14 @@ def _march_face(
     scatter = jnp.concatenate([out_rgb / (2.0 * jnp.pi), out_a[..., None]], axis=-1)
     if swapped:
         scatter = jnp.swapaxes(scatter, 0, 1)
+    if partial:
+        # Total transmittance through this slice block: with it, blocks
+        # compose front-to-back across shards with the OVER operator
+        # (scatter' = scatter_front + T_front * scatter_back).
+        t_tot = cp[-1]
+        if swapped:
+            t_tot = t_tot.T
+        return scatter, t_tot
     return scatter
 
 

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the reference's -warp analog)")
     p.add_argument("--no-fps", action="store_true", help="hide FPS readout (ref: F1)")
+    p.add_argument("--interactive", action="store_true",
+                   help="live hotkeys on a TTY: Space pause, f FPS, arrows "
+                        "method, s screenshot, x fast/faithful stack, q quit "
+                        "(ref OnKeyUp: Space/F1/Left/Right/F11/X)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--profile-passes", action="store_true",
@@ -116,9 +120,11 @@ def main(argv=None) -> int:
         import jax
 
         with jax.profiler.trace(args.profile):
-            loop.run(args.frames, args.screenshot, args.screenshot_every)
+            loop.run(args.frames, args.screenshot, args.screenshot_every,
+                     interactive=args.interactive)
     else:
-        loop.run(args.frames, args.screenshot, args.screenshot_every)
+        loop.run(args.frames, args.screenshot, args.screenshot_every,
+                 interactive=args.interactive)
 
     if args.checkpoint:
         save_state(args.checkpoint, engine.state)

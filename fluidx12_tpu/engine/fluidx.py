@@ -37,6 +37,7 @@ from fluidx12_tpu.render.environment import render_environment
 from fluidx12_tpu.render.lightmap import render_light_map
 from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
 from fluidx12_tpu.render.slicecomp import ray_march_cube_fast
+from fluidx12_tpu.render.screencomp import ray_cast_direct_fast
 from fluidx12_tpu.render.raycast import ray_cast_direct
 from fluidx12_tpu.render.resolve import resolve_cube
 from fluidx12_tpu.render.visualize2d import visualize_color_2d
@@ -115,7 +116,8 @@ class FluidXEngine:
     # Device-side fused step (jitted per method x lod)
     # ------------------------------------------------------------------
     def _build_program(self, method: RenderMethod, lod: int,
-                       vis_mask: Optional[int] = None):
+                       vis_mask: Optional[int] = None,
+                       plane_spec=None):
         cfg = self.config
         has_probe = self.sh_coeffs is not None
 
@@ -151,8 +153,11 @@ class FluidXEngine:
                         "paths for correct point-light shadows.",
                         stacklevel=2,
                     )
+                # Fast DIRECT methods need the base-plane spec (None when
+                # the eye is inside the volume -> faithful fallback).
+                fast_direct = fast and not method.uses_cube_map and plane_spec is not None
                 light_map = None
-                if method.separate_light_pass or (fast and method.uses_cube_map):
+                if method.separate_light_pass or (fast and method.uses_cube_map) or fast_direct:
                     if fast:
                         light_map = render_light_map_fast(grid, params, cfg, sh_coeffs)
                     else:
@@ -167,6 +172,15 @@ class FluidXEngine:
                             light_map=light_map, sh_coeffs=sh_coeffs,
                         )
                     rgba = resolve_cube(cube, params, cfg)
+                elif fast_direct:
+                    # Perspective shear-warp (render/screencomp.py).  Sample
+                    # count binding mirrors the reference: merged binds the
+                    # max (Fluid.cpp:943), separate the LOD-clamped count
+                    # (Fluid.cpp:968).
+                    num = (params.num_samples if method.separate_light_pass
+                           else jnp.int32(cfg.max_ray_samples))
+                    rgba = ray_cast_direct_fast(grid, params, cfg, light_map,
+                                                plane_spec, num)
                 else:
                     rgba = ray_cast_direct(
                         grid, params, cfg,
@@ -186,17 +200,34 @@ class FluidXEngine:
         return jax.jit(step_and_render, donate_argnums=(0,))
 
     def _program(self, method: RenderMethod, lod: int,
-                 vis_mask: Optional[int] = None):
-        key = (method, lod, vis_mask)
+                 vis_mask: Optional[int] = None, plane_spec=None):
+        key = (method, lod, vis_mask, plane_spec)
         if key not in self._programs:
-            self._programs[key] = self._build_program(method, lod, vis_mask)
+            self._programs[key] = self._build_program(method, lod, vis_mask,
+                                                      plane_spec)
         return self._programs[key]
+
+    def _direct_plane_spec(self):
+        """Static base-plane geometry for the fast DIRECT methods, or None
+        (eye inside the volume / fast path off).  Host math; quantized, so
+        an orbiting camera retraces only at coarse thresholds."""
+        cfg = self.config
+        if not (cfg.fast_render and cfg.is_3d and not cfg.point_light):
+            return None
+        from fluidx12_tpu.render.screencomp import direct_plane_spec
+
+        local_eye = (np.append(np.asarray(self.camera.eye, np.float64), 1.0)
+                     @ self.world_i)[:3]
+        wvp = self.world @ self.camera.view_proj
+        return direct_plane_spec(local_eye, wvp, cfg.viewport, cfg)
 
     # ------------------------------------------------------------------
     def step_frame(self) -> jax.Array:
         """One full frame; returns the (H, W, 3) float image (device array)."""
         params, lod, vis_mask = self.update_frame()
-        program = self._program(self.render_method, lod, vis_mask)
+        plane_spec = (self._direct_plane_spec()
+                      if not self.render_method.uses_cube_map else None)
+        program = self._program(self.render_method, lod, vis_mask, plane_spec)
         self.state, image = program(self.state, params, self.sh_coeffs, self.radiance)
         self.frame_index += 1
         return image
@@ -210,3 +241,20 @@ class FluidXEngine:
 
     def prev_method(self):
         self.render_method = self.render_method.prev()
+
+    def toggle_ez(self) -> bool:
+        """Switch between the fast and faithful implementation stacks.
+
+        The analog of the reference's 'X' hotkey (FluidX12.cpp:330-332),
+        which flips m_useEZ between the Core and EZ code paths at runtime.
+        Here the two stacks are faithful (reference semantics) vs fast
+        (TPU-native reformulations); flipping invalidates the compiled
+        program cache so the next frame re-traces with the new stack.
+        Returns the new fast-stack state."""
+        import dataclasses
+
+        fast = not self.config.fast_render
+        self.config = dataclasses.replace(
+            self.config, fast_render=fast, fast_sim=fast)
+        self._programs.clear()
+        return fast

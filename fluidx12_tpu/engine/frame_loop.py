@@ -21,6 +21,61 @@ from fluidx12_tpu.utils.image import to_srgb_u8
 from fluidx12_tpu.utils.png import write_png
 
 
+class _KeyPoller:
+    """Non-blocking single-key reader for live hotkeys (ref OnKeyUp,
+    FluidX12.cpp:311-334).  Active only when stdin is an interactive TTY;
+    puts the terminal in cbreak mode for the duration of the run and
+    decodes the arrow/F11 escape sequences to symbolic names."""
+
+    ESC_MAP = {"[D": "left", "[C": "right", "[23~": "f11", "OP": "f1",
+               "[11~": "f1"}
+
+    def __init__(self):
+        import sys
+
+        self.enabled = False
+        self._fd = None
+        self._saved = None
+        try:
+            if sys.stdin.isatty():
+                import termios
+                import tty
+
+                self._fd = sys.stdin.fileno()
+                self._saved = termios.tcgetattr(self._fd)
+                tty.setcbreak(self._fd)
+                self.enabled = True
+        except Exception:
+            self.enabled = False
+
+    def poll(self) -> Optional[str]:
+        """Return one decoded key ('space', 'left', 'x', ...) or None."""
+        if not self.enabled:
+            return None
+        import os
+        import select
+        import sys
+
+        if not select.select([sys.stdin], [], [], 0)[0]:
+            return None
+        ch = os.read(self._fd, 1).decode(errors="ignore")
+        if ch == "\x1b":  # escape sequence: drain what's immediately there
+            seq = ""
+            while select.select([sys.stdin], [], [], 0)[0] and len(seq) < 8:
+                seq += os.read(self._fd, 1).decode(errors="ignore")
+            return self.ESC_MAP.get(seq)
+        if ch == " ":
+            return "space"
+        return ch.lower() or None
+
+    def close(self):
+        if self.enabled and self._saved is not None:
+            import termios
+
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._saved)
+            self.enabled = False
+
+
 class FrameLoop:
     FRAMES_IN_FLIGHT = 3  # ref FrameCount (Fluid.h:35)
 
@@ -41,8 +96,22 @@ class FrameLoop:
         self.last_fps: Optional[float] = None
 
     def run(self, num_frames: int, screenshot_path: Optional[str] = None,
-            screenshot_every: Optional[int] = None) -> Optional[np.ndarray]:
-        """Run `num_frames`; returns the last frame as uint8 (H, W, 3)."""
+            screenshot_every: Optional[int] = None,
+            interactive: bool = False) -> Optional[np.ndarray]:
+        """Run `num_frames`; returns the last frame as uint8 (H, W, 3).
+
+        With interactive=True and a TTY on stdin, live hotkeys mirror the
+        reference (OnKeyUp, FluidX12.cpp:311-334): Space pause, f/F1 FPS
+        readout, ←/→ render method, s/F11 screenshot, x fast↔faithful
+        stack, q quit early."""
+        keys = _KeyPoller() if interactive else None
+        try:
+            return self._run(num_frames, screenshot_path, screenshot_every, keys)
+        finally:
+            if keys is not None:
+                keys.close()
+
+    def _run(self, num_frames, screenshot_path, screenshot_every, keys):
         image = None
         last = None
         for i in range(num_frames):
@@ -58,6 +127,9 @@ class FrameLoop:
             if screenshot_every and (i + 1) % screenshot_every == 0 and screenshot_path:
                 path = screenshot_path.format(frame=i + 1)
                 write_png(path, to_srgb_u8(np.asarray(image)))
+            if keys is not None and self._handle_key(keys.poll(), image,
+                                                     screenshot_path):
+                break
             last = image
         if last is not None:
             last.block_until_ready()
@@ -66,6 +138,36 @@ class FrameLoop:
                 write_png(screenshot_path.format(frame=self.engine.frame_index), arr)
             return arr
         return None
+
+    def _handle_key(self, key: Optional[str], image,
+                    screenshot_path: Optional[str]) -> bool:
+        """Apply one live hotkey; returns True to stop the loop (q)."""
+        if key is None:
+            return False
+        eng = self.engine
+        if key == "space":
+            eng.toggle_pause()
+            print(f"[fluidx12-tpu] {'paused' if eng.is_paused else 'resumed'}")
+        elif key in ("f", "f1"):
+            self.show_fps = not self.show_fps
+        elif key == "left":
+            eng.prev_method()
+            print(f"[fluidx12-tpu] method: {eng.render_method.name}")
+        elif key == "right":
+            eng.next_method()
+            print(f"[fluidx12-tpu] method: {eng.render_method.name}")
+        elif key in ("s", "f11"):
+            path = (screenshot_path or "screenshot_{frame}.png").format(
+                frame=eng.frame_index)
+            write_png(path, to_srgb_u8(np.asarray(image)))
+            print(f"[fluidx12-tpu] screenshot -> {path}")
+        elif key == "x":
+            fast = eng.toggle_ez()
+            print(f"[fluidx12-tpu] stack: {'fast' if fast else 'faithful'} "
+                  f"(recompiling next frame)")
+        elif key == "q":
+            return True
+        return False
 
     def _watchdog(self):
         """Detect and recover from numerical divergence of the sim state."""

@@ -84,8 +84,10 @@ def cube_cast(
 ) -> jax.Array:
     """AA filtered fetch (CubeCast, PSCube.hlsli:63-118).
 
-    cube (6, R, R, 4); face/u/v per pixel; pos = hit point (kept for
-    interface parity with the reference's edge test).
+    cube (F, R, R, c) -- F = 6 for the cube map, or 1 when reused as the
+    plane-warp gather of the fast DIRECT path (render/screencomp.py);
+    face/u/v per pixel; pos = hit point (kept for interface parity with the
+    reference's edge test).
 
     TPU-native gather shape: instead of 16 scalar gathers per pixel, each
     texel's full 2x2 bilinear neighborhood is packed into one contiguous
@@ -112,7 +114,7 @@ def cube_cast(
     down = jnp.concatenate([cb[:, 1:], cb[:, -1:]], axis=1)
     down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
     records = jnp.concatenate([cb, right, down, down_right], axis=-1)
-    records = records.reshape(6 * size * size, 4 * c)
+    records = records.reshape(cube.shape[0] * size * size, 4 * c)
 
     u0 = jnp.clip(jnp.floor(ut).astype(jnp.int32), 0, size - 2)
     v0 = jnp.clip(jnp.floor(vt).astype(jnp.int32), 0, size - 2)

@@ -61,11 +61,15 @@ def _mxu16():
     return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
 
-def _interp_weights(coords: jax.Array, n_src: int) -> jax.Array:
+def _interp_weights(coords: jax.Array, n_src: int,
+                    zero_outside: bool = False) -> jax.Array:
     """(..., n_out) source-space coords -> (..., n_out, n_src) lerp weights.
 
     Texel centers at integers; out-of-range clamps to the edge texel
-    (LINEAR_CLAMP).  Dense one-hot construction; consumed by MXU einsums.
+    (LINEAR_CLAMP).  With zero_outside, coordinates more than half a texel
+    beyond the edges get zero weight instead (rays passing outside the
+    volume on an extended march plane, render/screencomp.py).  Dense
+    one-hot construction; consumed by MXU einsums.
     """
     c = jnp.clip(coords, 0.0, n_src - 1.0)
     i0 = jnp.floor(c)
@@ -75,7 +79,11 @@ def _interp_weights(coords: jax.Array, n_src: int) -> jax.Array:
     src = jnp.arange(n_src)
     m0 = (src == i0[..., None]).astype(coords.dtype) * (1.0 - frac)[..., None]
     m1 = (src == i1[..., None]).astype(coords.dtype) * frac[..., None]
-    return m0 + m1
+    w = m0 + m1
+    if zero_outside:
+        inside = (coords >= -0.5) & (coords <= n_src - 0.5)
+        w = w * inside[..., None].astype(w.dtype)
+    return w
 
 
 def _local_from_uv(face_id, u, v, dtype):
@@ -140,6 +148,8 @@ def _march_face(
     row_start=None,         # traced global start of volf dim 2 (sharded rows)
     psum_axis=None,         # mesh axis to psum the row contraction over
     partial: bool = False,  # also return the block's total transmittance
+    extent=1.0,             # lateral half-extent of the plane: L or (Lu, Lv)
+    res=None,               # texels across the plane: R or (Ru, Rv)
 ):
     """March one cube face in bulk; returns (R_eff, R_eff, 4), R_eff = R >> lod.
 
@@ -174,11 +184,18 @@ def _march_face(
     n_m = sizes[axis]
     n_s = volf.shape[1]
     stride = -(-n_m // max(config.max_ray_samples >> lod, 1))
-    R = max(config.cube_map_size >> lod, 1)
+    plane_res = res if res is not None else max(config.cube_map_size >> lod, 1)
+    r_u, r_v = (plane_res, plane_res) if isinstance(plane_res, int) else plane_res
+    l_u, l_v = (extent, extent) if isinstance(extent, float) else extent
+    del res  # reused below for the resampled volume
 
-    t = ((jnp.arange(R, dtype=dtype) + 0.5) / R) * 2.0 - 1.0
-    u_line = t
-    v_line = -t
+    # extent > 1 marches an enlarged base plane (the perspective shear-warp
+    # factorization of the DIRECT screen-space methods, render/screencomp.py):
+    # lateral texels beyond the volume get zero weight, not edge clamp.
+    # The plane may be rectangular; the output is always (r_v rows, r_u cols).
+    u_line = ((jnp.arange(r_u, dtype=dtype) + 0.5) / r_u * 2.0 - 1.0) * l_u
+    v_line = -((jnp.arange(r_v, dtype=dtype) + 0.5) / r_v * 2.0 - 1.0) * l_v
+    outside = max(l_u, l_v) > 1.0
     e_m = local_eye[axis]
 
     # Slice coordinates in natural ascending order; parametric position of
@@ -201,7 +218,8 @@ def _march_face(
             q_line, e_q, unit_sign = v_line, local_eye[va], vs
         n_src = sizes[local_axis]
         h = e_q + (q_line[None, :] * unit_sign - e_q) * s[:, None]
-        return _interp_weights((h + 1.0) * 0.5 * n_src - 0.5, n_src)
+        return _interp_weights((h + 1.0) * 0.5 * n_src - 0.5, n_src,
+                               zero_outside=outside)
 
     w_rows = w_for(rem_local[0])  # resamples volf dim 2
     w_cols = w_for(rem_local[1])  # resamples volf dim 3

@@ -112,6 +112,41 @@ def test_fast_cube_march_lod_downsample():
     assert np.isfinite(cube1).all()
 
 
+def test_fast_direct_matches_faithful_image():
+    """Perspective shear-warp (render/screencomp.py) vs the faithful
+    per-pixel screen-space march (PSRayCastV semantics)."""
+    from fluidx12_tpu.core import math3d as m3
+    from fluidx12_tpu.core.camera import OrbitCamera
+    from fluidx12_tpu.render.raycast import ray_cast_direct
+    from fluidx12_tpu.render.screencomp import direct_plane_spec, ray_cast_direct_fast
+
+    cfg = tiny_config()
+    grid = jnp.asarray(_smoke_grid())
+    params = scene(cfg)
+    lm = render_light_map(grid, params, cfg)
+
+    cam = OrbitCamera(width=cfg.viewport[0], height=cfg.viewport[1])
+    world = m3.scaling(cfg.volume_scale)
+    local_eye = (np.append(np.asarray(cam.eye, np.float64), 1.0)
+                 @ m3.inverse(world))[:3]
+    spec = direct_plane_spec(local_eye, world @ cam.view_proj, cfg.viewport, cfg)
+    assert spec is not None and min(spec.extent) >= 1.0
+
+    img_slow = np.asarray(ray_cast_direct(grid, params, cfg, light_map=lm))
+    img_fast = np.asarray(ray_cast_direct_fast(grid, params, cfg, lm, spec,
+                                               params.num_samples))
+    assert np.isfinite(img_fast).all()
+    a1 = img_fast[..., 3] > 0.05
+    a2 = img_slow[..., 3] > 0.05
+    union, inter = (a1 | a2).sum(), (a1 & a2).sum()
+    assert union > 0 and inter / union > 0.75, inter / union
+    e1, e2 = img_fast[..., 3].sum(), img_slow[..., 3].sum()
+    assert 0.65 < e1 / e2 < 1.5, e1 / e2
+    both = a1 & a2
+    diff = np.abs(img_fast[both] - img_slow[both]).mean()
+    assert diff < 0.12, diff
+
+
 def test_fast_advect_matches_faithful():
     import dataclasses
     from fluidx12_tpu.sim.advect import advect

@@ -113,6 +113,13 @@ class FluidConfig:
     pallas_advect: bool = True
     # - Jacobi slab kernel (roll-based sweeps): 4.8 ms vs 5.5 ms XLA
     pallas_jacobi: bool = True
+    # Multigrid pressure fast solver: on grids whose planes exceed 128x128
+    # (where the reference's 64-sweep schedule costs ~15 ms at 256^3), one
+    # V(4,4) cycle with 32 half-grid sweeps replaces the 64 Jacobi sweeps --
+    # ~3x faster AND a lower post-projection divergence (the coarse level
+    # removes the smooth error Jacobi cannot; cross-checked in
+    # tests/test_sim.py).  Smaller grids keep the reference schedule.
+    mg_pressure: bool = True
     # Use the TPU-native slice-reformulated render passes (lightmap sweep +
     # slice-compositing cube march) instead of the faithful per-ray gather
     # marchers.  ~1000x on TPU; cross-checked in tests/test_fastpath.py.

@@ -1,0 +1,197 @@
+"""Pallas streaming kernels for the projection's stencil passes.
+
+The XLA formulations of divergence / gradient-subtract / boundary-damp
+(sim/project.py) are one-liners, but XLA:TPU materializes each edge-clamped
+shift as a full relayout copy: measured 6.8 / 5.5 / 4.1 ms standalone at
+256^3 on v5e against a ~0.5-1 ms HBM streaming floor.  These kernels stream
+the volume once through VMEM with all shifts done in-register:
+
+- X and Y neighbors are in-block `pltpu.roll`s with edge-clamp masks (blocks
+  span full Y x X planes, so the only block boundary is Z).
+- Z neighbors come from passing the same HBM array as three BlockSpec inputs
+  whose index maps point at blocks i-1 / i / i+1 (clamped): the adjacent
+  plane is the neighbor block's edge plane, no manual halo DMA needed.
+
+Semantics match the XLA twins exactly (edge-clamped central differences,
+CSProject3D.hlsl:77-88; 3% boundary band damp, :104-108); cross-checked in
+tests/test_pallas.py.  CPU runs the XLA twins (sim/project.py gates on the
+TPU backend).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_lane_clamped(q, offset):
+    """Edge-clamped +-1 shift along the lane axis (full-width X)."""
+    n = q.shape[-1]
+    rolled = pltpu.roll(q, (n - offset) % n, q.ndim - 1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
+    if offset > 0:
+        return jnp.where(ids == n - 1, q, rolled)
+    return jnp.where(ids == 0, q, rolled)
+
+
+def _shift_sublane_clamped(q, offset):
+    """Edge-clamped +-1 shift along the sublane axis (full-height Y)."""
+    n = q.shape[-2]
+    rolled = pltpu.roll(q, (n - offset) % n, q.ndim - 2)
+    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 2)
+    if offset > 0:
+        return jnp.where(ids == n - 1, q, rolled)
+    return jnp.where(ids == 0, q, rolled)
+
+
+def _z_neighbors(c, prev, nxt, bz, nz):
+    """(zm, zp): +-1 z-shifted views of block `c` using the adjacent blocks'
+    edge planes, clamped at the global volume boundary."""
+    zm = jnp.concatenate([prev[-1:], c[:-1]], axis=0)
+    zp = jnp.concatenate([c[1:], nxt[:1]], axis=0)
+    gz = jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0) + pl.program_id(0) * bz
+    zm = jnp.where(gz == 0, c, zm)
+    zp = jnp.where(gz == nz - 1, c, zp)
+    return zm, zp
+
+
+def _div_kernel(vc, uzp, uzm, out, *, bz: int, nz: int):
+    """out = 0.5 * (dx ux + dy uy + dz uz), edge-clamped central diffs.
+    uzp/uzm are the z channel alone (blocks i+1 / i-1): only its edge planes
+    are needed, and fetching 1 channel instead of 3 keeps blocks big.
+    Velocity may arrive in the half storage dtype; the stencil runs f32."""
+    f32 = jnp.float32
+    ux, uy, uz = vc[0].astype(f32), vc[1].astype(f32), vc[2].astype(f32)
+    dx = _shift_lane_clamped(ux, +1) - _shift_lane_clamped(ux, -1)
+    dy = _shift_sublane_clamped(uy, +1) - _shift_sublane_clamped(uy, -1)
+    zm, zp = _z_neighbors(uz, uzm[...].astype(f32), uzp[...].astype(f32), bz, nz)
+    out[...] = 0.5 * (dx + dy + (zp - zm))
+
+
+def _grad_damp_kernel(vc, pc, pzp, pzm, out, *, bz: int, nz: int, ny: int,
+                      nx: int, rho: float):
+    """out = damp(v - 0.5 * grad(p) / rho): the two post-Jacobi passes of the
+    projection fused into one streaming pass (CSProject3D.hlsl:92-108).
+    v streams in the storage dtype; pressure and all math are f32, and the
+    output rounds back to the storage dtype (the state's quantization
+    point, core/config.py sim_dtype)."""
+    p = pc[...]
+    s = 0.5 / rho
+    gx = (_shift_lane_clamped(p, +1) - _shift_lane_clamped(p, -1)) * s
+    gy = (_shift_sublane_clamped(p, +1) - _shift_sublane_clamped(p, -1)) * s
+    zm, zp = _z_neighbors(p, pzm[...], pzp[...], bz, nz)
+    gz = (zp - zm) * s
+
+    # Boundary damp: pos in [-1, 1] per axis; outward components scale by
+    # clamp((0.97 - |pos|)/0.03, -1, 1).
+    def pos(n, iota_dim):
+        ids = jax.lax.broadcasted_iota(jnp.int32, (bz, ny, nx), iota_dim)
+        if iota_dim == 0:
+            ids = ids + pl.program_id(0) * bz
+        return ((ids.astype(p.dtype) + 0.5) / n) * 2.0 - 1.0
+
+    def damp(u, pv):
+        scale = jnp.clip((0.97 - jnp.abs(pv)) / 0.03, -1.0, 1.0)
+        return jnp.where(u * pv > 0.0, u * scale, u)
+
+    f32 = jnp.float32
+    out[0] = damp(vc[0].astype(f32) - gx, pos(nx, 2)).astype(out.dtype)
+    out[1] = damp(vc[1].astype(f32) - gy, pos(ny, 1)).astype(out.dtype)
+    out[2] = damp(vc[2].astype(f32) - gz, pos(nz, 0)).astype(out.dtype)
+
+
+def _residual_kernel(qc, qzp, qzm, bc, out, *, bz: int, nz: int):
+    """out = b - (sum(neighbors) - 6 q): the Poisson residual for the
+    multigrid fast solver (sim/project.py).  Same fixed point as the Jacobi
+    sweep (CSPoisson.hlsli:8-26): residual 0 <=> q = (sum(nb) - b)/6."""
+    f32 = jnp.float32
+    q = qc[...].astype(f32)
+    s = _shift_lane_clamped(q, +1) + _shift_lane_clamped(q, -1)
+    s = s + _shift_sublane_clamped(q, +1) + _shift_sublane_clamped(q, -1)
+    zm, zp = _z_neighbors(q, qzm[...].astype(f32), qzp[...].astype(f32), bz, nz)
+    out[...] = bc[...].astype(f32) - (s + zm + zp - 6.0 * q)
+
+
+def _pick_bz(nz: int, plane_bytes: int, n_blocks_vmem: int) -> int:
+    """Largest z-block keeping ~n_blocks_vmem plane-stacks under ~12 MB.
+    Mosaic double-buffers every pipelined block, hence the factor 2."""
+    bz = nz
+    while bz > 1 and (bz % 2 == 0) and bz * plane_bytes * n_blocks_vmem * 2 > 12 * 1024 * 1024:
+        bz //= 2
+    return bz
+
+
+def stencil_pallas_supported(zyx) -> bool:
+    """Blocks span full Y x X planes; Mosaic needs a 128-multiple lane dim
+    (same constraint as the Jacobi kernels) and an even Z split."""
+    nz, ny, nx = zyx
+    return nx % 128 == 0 and ny % 8 == 0 and nz % 2 == 0 and nz >= 4
+
+
+def _zspecs(bz, ny, nx, nz, lead=None):
+    """BlockSpecs for (center, z+1, z-1) views of one array."""
+    nb = nz // bz - 1
+    shape = (bz, ny, nx) if lead is None else (lead, bz, ny, nx)
+
+    def mk(off):
+        # index maps run traced on the scalar core: jnp.clip, not min/max
+        if lead is None:
+            return pl.BlockSpec(shape, lambda i: (jnp.clip(i + off, 0, nb), 0, 0))
+        return pl.BlockSpec(shape, lambda i: (0, jnp.clip(i + off, 0, nb), 0, 0))
+
+    return mk(0), mk(+1), mk(-1)
+
+
+def divergence_pallas(velocity: jax.Array, bz: int = 0) -> jax.Array:
+    """Central-difference divergence of a (3, Z, Y, X) f32 field (3D)."""
+    _, nz, ny, nx = velocity.shape
+    if not bz:
+        bz = _pick_bz(nz, ny * nx * 4, 3 + 1 + 1 + 1)
+    cv = pl.BlockSpec((3, bz, ny, nx), lambda i: (0, i, 0, 0))
+    _, zp, zm = _zspecs(bz, ny, nx, nz)
+    uz = velocity[2]
+    return pl.pallas_call(
+        functools.partial(_div_kernel, bz=bz, nz=nz),
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+        grid=(nz // bz,),
+        in_specs=[cv, zp, zm],
+        out_specs=pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
+    )(velocity, uz, uz)
+
+
+def residual_pallas(pressure: jax.Array, b: jax.Array) -> jax.Array:
+    """Poisson residual b - A q of a (Z, Y, X) f32 pair (3D)."""
+    nz, ny, nx = pressure.shape
+    bz = _pick_bz(nz, ny * nx * 4, 1 + 1 + 1 + 1 + 1)
+    pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
+    bspec = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_residual_kernel, bz=bz, nz=nz),
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=jax.ShapeDtypeStruct(pressure.shape, jnp.float32),
+        grid=(nz // bz,),
+        in_specs=[pc, pzp, pzm, bspec],
+        out_specs=bspec,
+    )(pressure, pressure, pressure, b)
+
+
+def grad_damp_pallas(velocity: jax.Array, pressure: jax.Array,
+                     rho: float) -> jax.Array:
+    """Fused (v - 0.5*grad(p)/rho) + boundary damp; (3, Z, Y, X) f32."""
+    _, nz, ny, nx = velocity.shape
+    bz = _pick_bz(nz, ny * nx * 4, 3 + 3 + 3 + 3)
+    pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
+    vspec = pl.BlockSpec((3, bz, ny, nx), lambda i: (0, i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_grad_damp_kernel, bz=bz, nz=nz, ny=ny, nx=nx, rho=rho),
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=jax.ShapeDtypeStruct(velocity.shape, velocity.dtype),
+        grid=(nz // bz,),
+        in_specs=[vspec, pc, pzp, pzm],
+        out_specs=vspec,
+    )(velocity, pressure, pressure, pressure)

@@ -132,6 +132,9 @@ def _axis_volume(vol: jax.Array, axis: int, config: FluidConfig,
         jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
     ].set(1.0 / stride)
     eq = {2: "czyx,zm->cmyx", 1: "czyx,ym->cmzx", 0: "czyx,xm->cmzy"}[axis]
+    # f32 accumulation + cast: measured FASTER than asking the dot for bf16
+    # output directly (XLA:TPU's native MXU mode is f32-accumulate; bf16
+    # emission adds a slower epilogue -- 3.3 vs 5.1 ms at 256^3 shapes).
     return jnp.einsum(eq, v16, pool,
                       preferred_element_type=jnp.float32).astype(mx)
 

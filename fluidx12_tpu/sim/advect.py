@@ -52,9 +52,18 @@ def apply_impulse_forces(
     array tiles terribly on TPU (the last two dims carry the (8, 128)
     layout, so a 3-wide minor dim pads ~42x if it ever materializes).
 
-    Returns (velocity (3, Z, Y, X), color (4, Z, Y, X)), attenuated.
+    Returns (velocity (3, Z, Y, X), color (4, Z, Y, X)), attenuated, in the
+    input dtype.  Arithmetic always runs in f32 (a bf16 add would drop the
+    per-frame dye/force increments entirely: dt/grid ~ 2^-7 against values
+    near 1.0); with half-precision storage the single rounding happens here,
+    the same quantization point as before -- but XLA now fuses the
+    upcast-compute-downcast into one streaming pass instead of
+    materializing f32 copies of the 7-channel volume (~1.7 ms at 256^3).
     """
-    dtype = c_new.dtype
+    store = c_new.dtype
+    dtype = jnp.float32
+    u_new = u_new.astype(dtype)
+    c_new = c_new.astype(dtype)
     dt = jnp.asarray(time_step, dtype)
     z, y, x = config.zyx
     # Broadcastable per-axis simulation-space coordinates (index + 0.5)/size,
@@ -100,7 +109,7 @@ def apply_impulse_forces(
             [jnp.where(a > 0.0, c_new[:3] / a, c_new[:3]), a], axis=0)
 
     atten = jnp.maximum(1.0 - config.dissipation * dt, 0.0)
-    return (u_new * atten).astype(dtype), (c_new * atten).astype(dtype)
+    return (u_new * atten).astype(store), (c_new * atten).astype(store)
 
 
 def advect(

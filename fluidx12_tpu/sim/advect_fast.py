@@ -118,5 +118,6 @@ def advect_fast(
             both = backtrace_pallas(both, dt_full / n_sub, config)
         else:
             both = _backtrace_split(both, dt_full / n_sub, config)
-    both = both.astype(jnp.float32)
+    # Forces stream in the storage dtype (f32 register math inside); the
+    # result keeps the storage dtype, so the state write needs no extra cast.
     return apply_impulse_forces(both[:3], both[3:], dt_full, config)

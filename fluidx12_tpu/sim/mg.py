@@ -1,0 +1,133 @@
+"""Two-level geometric multigrid for the pressure Poisson solve (fast twin).
+
+The reference relaxes 64 plain-Jacobi sweeps per frame (CSPoisson.hlsli:8-26,
+ITER=64 with a racy per-thread early-out).  Jacobi only damps high-frequency
+error; at 256^3 the 64 sweeps cost ~15 ms on v5e and still leave the smooth
+error modes untouched.  A V-cycle does strictly better on both axes:
+
+    pre-smooth (4 sweeps, fine)            - kills high-frequency error
+    residual -> restrict (2x box average)  - smooth error is visible at h/2
+    32 sweeps on the half grid             - 1/8 the voxels: ~free
+    prolongate (trilinear) + correct
+    post-smooth (4 sweeps, fine)
+
+Fine-level work drops from 64 sweeps to 8 (+ one residual pass), while the
+coarse correction removes low-frequency error plain Jacobi cannot -- the
+post-projection divergence is *lower* than the reference schedule's
+(cross-checked in tests/test_sim.py).
+
+All pieces are TPU-native: smoothing reuses the Pallas Jacobi kernels,
+residuals the streaming stencil kernel, and the grid transfers are pooling /
+interpolation matrices applied as MXU einsums on the trailing (lane/sublane)
+dims -- a reshape-based 2x box filter on the trailing dims would pay the
+(8, 128) tile-padding relayout (CLAUDE.md, XLA:TPU layout gotchas).
+
+Engaged by sim/project.py on grids whose planes exceed 128x128 (exactly
+where the 64-sweep schedule is expensive); the reference-faithful
+fixed-iteration path remains below that and on `fast_sim=False`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _restrict_matrix(n: int) -> np.ndarray:
+    """(n, n/2) box-average restriction along one trailing dim."""
+    m = np.zeros((n, n // 2), np.float32)
+    m[np.arange(n), np.arange(n) // 2] = 0.5
+    return m
+
+
+def _prolong_matrix(n_c: int) -> np.ndarray:
+    """(n_c, 2*n_c) cell-centered trilinear prolongation along one dim.
+
+    Fine center i sits at coarse coordinate i/2 - 0.25: even fine cells mix
+    (0.25, 0.75) of coarse cells (m-1, m), odd cells (0.75, 0.25) of
+    (m, m+1); edges clamp.
+    """
+    n_f = 2 * n_c
+    m = np.zeros((n_c, n_f), np.float32)
+    for i in range(n_f):
+        c = i / 2.0 - 0.25
+        c0 = int(np.floor(c))
+        f = c - c0
+        m[np.clip(c0, 0, n_c - 1), i] += 1.0 - f
+        m[np.clip(c0 + 1, 0, n_c - 1), i] += f
+    return m
+
+
+def _restrict(r: jax.Array) -> jax.Array:
+    """(Z, Y, X) -> (Z/2, Y/2, X/2) box average."""
+    nz, ny, nx = r.shape
+    # Trailing dims via MXU pooling; leading (z) via a safe reshape-mean.
+    r = jnp.einsum("zyx,xm->zym", r, jnp.asarray(_restrict_matrix(nx)))
+    r = jnp.einsum("zym,yn->znm", r, jnp.asarray(_restrict_matrix(ny)))
+    return r.reshape(nz // 2, 2, ny // 2, nx // 2).mean(axis=1)
+
+
+def _prolong(e: jax.Array) -> jax.Array:
+    """(Zc, Yc, Xc) -> (2Zc, 2Yc, 2Xc) trilinear interpolation."""
+    nz, ny, nx = e.shape
+    e = jnp.einsum("zyx,xm->zym", e, jnp.asarray(_prolong_matrix(nx)))
+    e = jnp.einsum("zym,yn->znm", e, jnp.asarray(_prolong_matrix(ny)))
+    # z: cell-centered lerp of neighbor planes (leading dim: plain slices).
+    lo = jnp.concatenate([e[:1], e], axis=0)      # clamp
+    hi = jnp.concatenate([e, e[-1:]], axis=0)
+    even = 0.25 * lo[:-1] + 0.75 * e              # fine 2m
+    odd = 0.75 * e + 0.25 * hi[1:]                # fine 2m+1
+    return jnp.stack([even, odd], axis=1).reshape(2 * nz, 2 * ny, 2 * nx)
+
+
+def _smooth(q: jax.Array, b: jax.Array, iters: int) -> jax.Array:
+    """Jacobi sweeps: Pallas kernels when the shape/backend supports them,
+    the XLA twin otherwise (identical update rule)."""
+    from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas, jacobi_tuning
+    from fluidx12_tpu.sim.project import jacobi_sweeps
+
+    tuning = (jacobi_tuning(q.shape, iters)
+              if jax.default_backend() == "tpu" else None)
+    if tuning is not None:
+        return jacobi_pallas(q, b, iters, *tuning)
+    return jacobi_sweeps(q, b, iters, is_3d=True)
+
+
+def _residual(q: jax.Array, b: jax.Array) -> jax.Array:
+    from fluidx12_tpu.ops.pallas.stencil import (
+        residual_pallas,
+        stencil_pallas_supported,
+    )
+
+    if jax.default_backend() == "tpu" and stencil_pallas_supported(q.shape):
+        return residual_pallas(q, b)
+    from fluidx12_tpu.ops.sampling import neighbor_shift
+
+    s = (neighbor_shift(q, 2, +1) + neighbor_shift(q, 2, -1)
+         + neighbor_shift(q, 1, +1) + neighbor_shift(q, 1, -1)
+         + neighbor_shift(q, 0, +1) + neighbor_shift(q, 0, -1))
+    return b - (s - 6.0 * q)
+
+
+def mg_supported(zyx) -> bool:
+    """2-level V-cycle needs even dims and a coarse level >= 8 per axis."""
+    nz, ny, nx = zyx
+    return all(n % 2 == 0 and n >= 16 for n in (nz, ny, nx))
+
+
+def mg_solve(q: jax.Array, b: jax.Array, pre: int = 4, post: int = 4,
+             coarse_iters: int = 32) -> jax.Array:
+    """One V(pre, post) cycle with `coarse_iters` half-grid sweeps.
+
+    The A-operator is the reference's unit-coefficient 6-point form
+    (sum(nb) - 6q = b, h^2 absorbed into b), so the restricted residual
+    scales by 4 (= (2h/h)^2) to stay in the same form on the coarse grid.
+    """
+    q = _smooth(q, b, pre)
+    r = _residual(q, b)
+    r_c = _restrict(r) * 4.0
+    e_c = _smooth(jnp.zeros_like(r_c), r_c, coarse_iters)
+    q = q + _prolong(e_c)
+    return _smooth(q, b, post)

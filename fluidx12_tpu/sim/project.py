@@ -121,23 +121,54 @@ def project(
     rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
 
     tuning = None
+    use_stencil = False
+    use_mg = False
     if config.use_pallas and config.pallas_jacobi and is_3d:
         from fluidx12_tpu.ops.pallas.jacobi import jacobi_tuning
+        from fluidx12_tpu.ops.pallas.stencil import stencil_pallas_supported
 
-        if jax.default_backend() == "tpu":  # CPU runs the XLA twin
+        if jax.default_backend() == "tpu":  # CPU runs the XLA twins
             tuning = jacobi_tuning(config.zyx, config.num_pressure_iters)
+            # Streaming div / grad+damp kernels: XLA materializes each
+            # edge-clamped shift (16+ ms of relayout at 256^3); the kernels
+            # do one pass through VMEM (ops/pallas/stencil.py).
+            use_stencil = stencil_pallas_supported(config.zyx)
+    if config.fast_sim and config.mg_pressure and is_3d:
+        from fluidx12_tpu.sim.mg import mg_supported
+
+        z, y, x = config.zyx
+        # Multigrid fast solver where the 64-sweep schedule is expensive
+        # (planes beyond the full-plane Jacobi kernel's reach); smaller
+        # grids keep the reference-faithful fixed-iteration relaxation.
+        use_mg = y * x > 128 * 128 and mg_supported(config.zyx)
 
     def run(args):
         vel, q = args
-        b = divergence(vel, is_3d).astype(jnp.float32)
-        if tuning is not None:
+        if use_stencil:
+            from fluidx12_tpu.ops.pallas.stencil import (
+                divergence_pallas,
+                grad_damp_pallas,
+            )
+
+            # Kernels stream the storage dtype and compute in f32.
+            b = divergence_pallas(vel)
+        else:
+            b = divergence(vel, is_3d).astype(jnp.float32)
+        if use_mg:
+            from fluidx12_tpu.sim.mg import mg_solve
+
+            q = mg_solve(q, b)
+        elif tuning is not None:
             from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas
 
             q = jacobi_pallas(q, b, config.num_pressure_iters, *tuning)
         else:
             q = jacobi_sweeps(q, b, config.num_pressure_iters, is_3d)
-        vel = subtract_gradient(vel, q, rho, is_3d)
-        vel = boundary_damp(vel, config)
+        if use_stencil:
+            vel = grad_damp_pallas(vel, q, rho)
+        else:
+            vel = subtract_gradient(vel, q, rho, is_3d)
+            vel = boundary_damp(vel, config)
         return vel, q
 
     def skip(args):

@@ -125,3 +125,61 @@ def test_simulate_paused_is_near_identity():
     frozen = jax.jit(lambda s: simulate(s, 0.0, cfg))(state)
     np.testing.assert_allclose(np.asarray(frozen.color), np.asarray(state.color), atol=1e-6)
     np.testing.assert_allclose(np.asarray(frozen.velocity), np.asarray(state.velocity), atol=1e-6)
+
+
+def test_mg_pressure_solver_beats_jacobi_residual():
+    """The multigrid fast solver (sim/mg.py) must reach at least the
+    64-sweep Jacobi schedule's residual on a smooth rhs -- the dual-stack
+    guarantee for the big-grid pressure path (VERDICT r2: 256^3 perf)."""
+    import jax.numpy as jnp
+    from fluidx12_tpu.sim.mg import mg_solve, mg_supported, _residual, _restrict, _prolong
+    from fluidx12_tpu.sim.project import jacobi_sweeps
+
+    rng = np.random.default_rng(0)
+    n = (16, 144, 144)
+    assert mg_supported(n)
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    for ax in range(3):
+        b = (np.roll(b, 1, ax) + b + np.roll(b, -1, ax)) / 3.0
+    b = jnp.asarray(b - b.mean())
+    q0 = jnp.zeros(n, jnp.float32)
+    r_j = np.abs(np.asarray(_residual(jacobi_sweeps(q0, b, 64, True), b))).mean()
+    r_m = np.abs(np.asarray(_residual(mg_solve(q0, b), b))).mean()
+    assert r_m <= r_j * 1.05, (r_m, r_j)
+
+    # Transfer operators preserve the mean (no mass bias in the correction).
+    r = jnp.asarray(rng.uniform(-1, 1, (16, 32, 32)).astype(np.float32))
+    np.testing.assert_allclose(float(_restrict(r).mean()), float(r.mean()), atol=1e-6)
+    e = jnp.asarray(rng.uniform(-1, 1, (8, 16, 16)).astype(np.float32))
+    np.testing.assert_allclose(float(_prolong(e).mean()), float(e.mean()), atol=1e-6)
+
+
+def test_pallas_stencil_kernels_match_xla_twins():
+    """divergence / residual / grad+damp streaming kernels (interpret mode
+    on CPU) vs the XLA formulations (sim/project.py)."""
+    import jax.numpy as jnp
+    from fluidx12_tpu.ops.pallas.stencil import (
+        divergence_pallas, grad_damp_pallas, residual_pallas,
+        stencil_pallas_supported)
+    from fluidx12_tpu.sim.project import (
+        divergence, subtract_gradient, boundary_damp)
+    from fluidx12_tpu.sim.mg import _residual as residual_xla
+
+    cfg = FluidConfig(grid_size=(128, 128, 16))
+    assert stencil_pallas_supported(cfg.zyx)
+    rng = np.random.default_rng(1)
+    nz, ny, nx = cfg.zyx
+    v = jnp.asarray(rng.uniform(-1, 1, (3, nz, ny, nx)).astype(np.float32))
+    p = jnp.asarray(rng.uniform(-1, 1, (nz, ny, nx)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (nz, ny, nx)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(divergence_pallas(v)), np.asarray(divergence(v, True)),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(residual_pallas(p, b)), np.asarray(residual_xla(p, b)),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grad_damp_pallas(v, p, 0.48)),
+        np.asarray(boundary_damp(subtract_gradient(v, p, 0.48, True), cfg)),
+        atol=1e-5)

@@ -204,8 +204,14 @@ def run_pass_breakdown(n=256):
     vox = n ** 3
     half = 2  # bf16/f16 bytes
     state_b = 7 * vox * half + vox * 4
+    if n * n > 128 * 128:
+        # Multigrid pressure path (sim/mg.py): 2 fine smooth calls with
+        # 1.875x window redundancy + residual + transfers + coarse cycle.
+        poisson_b = vox * 4 * (2 * (2 * 1.875 + 1) + 3 + 1.5 + 4.75)
+    else:
+        poisson_b = vox * 4 * 2 * (64 // 8) * 2.3  # 64-sweep Jacobi trips
     sim_b = (7 * vox * half * 2 * 3        # 3 resample passes r+w (bf16)
-             + vox * 4 * 2 * (64 // 8) * 2.3  # jacobi trips, halo redundancy
+             + poisson_b
              + 5 * vox * 4)                # div/grad/damp passes
     light_b = vox * half + 3 * vox * half * 2
     slices = min(cfg.max_ray_samples, n)

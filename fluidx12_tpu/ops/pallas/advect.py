@@ -267,7 +267,8 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
         heavy_path(masked=True)
 
 
-def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool):
+def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
+               slab_max: int = 64):
     """vol (C, Z, Y, X), disp (Z, Y, X) pre-clipped: resample z.
 
     Grid is (z-slab, y-tile, channel) with channel innermost so the shared
@@ -280,7 +281,10 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool):
         # window slices fail Mosaic's alignment rule (seen at 24^3 on
         # hardware -- interpret mode does not enforce it).
         return None
-    slab = 32
+    # Taller slabs cut the halo-block read redundancy ((slab + 2*_ZHBLK) /
+    # slab: 2.0 at slab 32 -> 1.5 at 64); the y tile shrinks to keep the
+    # block inside the budget.
+    slab = slab_max
     while slab > 1 and nz % slab:
         slab //= 2
     ytile = 32

@@ -168,3 +168,31 @@ def evaluate_sh_irradiance(coeffs: jax.Array, normal: jax.Array) -> jax.Array:
         + 2.0 * _C2 * (c[3] * x + c[1] * y + c[2] * z)
     )
     return jnp.maximum(irr, 0.0)
+
+
+def evaluate_sh_irradiance_planar(coeffs: jax.Array, nx: jax.Array,
+                                  ny: jax.Array, nz: jax.Array) -> jax.Array:
+    """Channel-leading twin of evaluate_sh_irradiance for volume fields.
+
+    Direction components arrive as separate (...) arrays and the result is
+    (3, ...): on TPU a (..., 3) array pads its 3-wide trailing dim up to a
+    full (8, 128) tile (~42x) the moment it materializes, so volume-sized
+    irradiance must never take that layout (CLAUDE.md, XLA:TPU layout
+    gotchas).  Same math and x/y negation as the reference
+    (SHIrradianceTypeless.hlsli:16-37).
+    """
+    x, y, z = -nx, -ny, nz
+    c = coeffs  # (9, 3)
+
+    def ch(l):
+        return c[l][:, None, None, None] if x.ndim == 3 else c[l][:, None, None]
+
+    irr = (
+        (_C1 * (x * x - y * y))[None] * ch(8)
+        + (_C3 * (3.0 * z * z - 1.0))[None] * ch(6)
+        + _C4 * ch(0)
+        + 2.0 * _C1 * ((x * y)[None] * ch(4) + (x * z)[None] * ch(7)
+                       + (y * z)[None] * ch(5))
+        + 2.0 * _C2 * (x[None] * ch(3) + y[None] * ch(1) + z[None] * ch(2))
+    )
+    return jnp.maximum(irr, 0.0)

@@ -104,6 +104,30 @@ def _grad_damp_kernel(vc, pc, pzp, pzm, out, *, bz: int, nz: int, ny: int,
     out[2] = damp(vc[2].astype(f32) - gz, pos(nz, 0)).astype(out.dtype)
 
 
+def _gradient_kernel(qc, qzp, qzm, out, *, bz: int, nz: int, ny: int, nx: int):
+    """out = (gx, gy, gz) central differences with jnp.gradient's edge
+    semantics (one-sided full difference at the boundary).  Channel-leading
+    output; one streaming pass (the GI ambient's gradient was 3 XLA
+    stencil passes with materialized shifts)."""
+    f32 = jnp.float32
+    q = qc[...].astype(f32)
+
+    def scale(iota_dim, n, gids=None):
+        ids = (jax.lax.broadcasted_iota(jnp.int32, q.shape, iota_dim)
+               if gids is None else gids)
+        edge = (ids == 0) | (ids == n - 1)
+        return jnp.where(edge, 1.0, 0.5)
+
+    gx = (_shift_lane_clamped(q, +1) - _shift_lane_clamped(q, -1)) * scale(2, nx)
+    gy = (_shift_sublane_clamped(q, +1) - _shift_sublane_clamped(q, -1)) * scale(1, ny)
+    zm, zp = _z_neighbors(q, qzm[...].astype(f32), qzp[...].astype(f32), bz, nz)
+    gz_ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0) + pl.program_id(0) * bz
+    gz = (zp - zm) * scale(0, nz, gz_ids)
+    out[0] = gx
+    out[1] = gy
+    out[2] = gz
+
+
 def _residual_kernel(qc, qzp, qzm, bc, out, *, bz: int, nz: int):
     """out = b - (sum(neighbors) - 6 q): the Poisson residual for the
     multigrid fast solver (sim/project.py).  Same fixed point as the Jacobi
@@ -162,6 +186,22 @@ def divergence_pallas(velocity: jax.Array, bz: int = 0) -> jax.Array:
         in_specs=[cv, zp, zm],
         out_specs=pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
     )(velocity, uz, uz)
+
+
+def gradient3_pallas(q: jax.Array) -> jax.Array:
+    """(Z, Y, X) -> (3, Z, Y, X) spatial gradient (gx, gy, gz), matching
+    jnp.gradient's central/one-sided scheme; f32 out."""
+    nz, ny, nx = q.shape
+    bz = _pick_bz(nz, ny * nx * 4, 1 + 1 + 1 + 3)
+    pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
+    return pl.pallas_call(
+        functools.partial(_gradient_kernel, bz=bz, nz=nz, ny=ny, nx=nx),
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=jax.ShapeDtypeStruct((3, nz, ny, nx), jnp.float32),
+        grid=(nz // bz,),
+        in_specs=[pc, pzp, pzm],
+        out_specs=pl.BlockSpec((3, bz, ny, nx), lambda i: (0, i, 0, 0)),
+    )(q, q, q)
 
 
 def residual_pallas(pressure: jax.Array, b: jax.Array) -> jax.Array:

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from fluidx12_tpu.core.config import FluidConfig
 from fluidx12_tpu.core.state import SceneParams
-from fluidx12_tpu.ops.cubemap import sample_cube_bilinear
 from fluidx12_tpu.ops.transform import transform_ndc
 
 ENVCUBE_RADIUS = 768.0 / 1.414  # PSEnvironment.hlsl:7
@@ -53,4 +52,12 @@ def render_environment(
     else:
         sample_dir = ray_dir
 
-    return sample_cube_bilinear(radiance.astype(dtype), sample_dir)
+    # Contiguous-record bilinear (resolve.cube_cast): one row gather per
+    # pixel instead of four 3-wide gathers -- the naive form cost ~11 ms of
+    # the GI frame at 800^2 (gathers bill per row, and a 3-wide row also
+    # pays the trailing-dim tile padding; CLAUDE.md layout notes).
+    from fluidx12_tpu.ops.cubemap import direction_to_face_uv
+    from fluidx12_tpu.render.resolve import cube_cast
+
+    face, u, v = direction_to_face_uv(sample_dir)
+    return cube_cast(radiance.astype(dtype), face, u, v, sample_dir, ray_dir)

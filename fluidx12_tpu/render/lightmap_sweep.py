@@ -33,7 +33,6 @@ import jax.numpy as jnp
 
 from fluidx12_tpu.core.config import FluidConfig
 from fluidx12_tpu.core.state import SceneParams
-from fluidx12_tpu.gi.sh import evaluate_sh_irradiance
 from fluidx12_tpu.ops.transform import transform_vector
 from fluidx12_tpu.render.raymarch_core import MAX_DIST
 
@@ -224,53 +223,94 @@ def render_light_map_fast(
         density, light_dir, major_axis, ref_step, config.absorption, flip=flip
     )
 
-    env_light = params.light_color[:3] * params.light_color[3]
+    env3 = (params.light_color[:3] * params.light_color[3])[:, None, None, None]
     dense = density >= config.zero_threshold
     shadow = jnp.where(dense, shadow, 1.0)
 
     if config.has_light_probe and sh_coeffs is not None:
-        # Gradient-direction irradiance + 6-sweep AO approximation.
-        gz, gy, gx = jnp.gradient(density)
-        grad = jnp.stack([-gx, -gy, -gz], axis=-1)  # -(d/dx, d/dy, d/dz)
-        norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
-        degenerate = norm[..., 0] < 1e-8
+        # Gradient-direction irradiance + 6-sweep AO approximation, all
+        # channel-LEADING: a volume-sized (..., 3) array pads its trailing
+        # dim to a full (8, 128) tile on TPU, which made this branch ~2x the
+        # whole non-GI frame at 256^3 before the relayout was removed.
+        gz, gy, gx = _gradient(density)
+        nx_, ny_, nz_ = -gx, -gy, -gz
+        norm2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
+        degenerate = norm2 < 1e-16
         # fall back to radial direction like the reference (RayMarch.hlsli:279)
-        zc, yc, xc = [
-            (jnp.arange(n, dtype=dtype) + 0.5) / n * 2.0 - 1.0
-            for n in density.shape
-        ]
-        pz, py, px = jnp.meshgrid(zc, yc, xc, indexing="ij")
-        radial = jnp.stack([px, py, pz], axis=-1)
-        grad = jnp.where(degenerate[..., None], radial, grad)
-        grad = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)
+        z_n, y_n, x_n = density.shape
+        px = ((jnp.arange(x_n, dtype=dtype) + 0.5) / x_n * 2.0 - 1.0).reshape(1, 1, x_n)
+        py = ((jnp.arange(y_n, dtype=dtype) + 0.5) / y_n * 2.0 - 1.0).reshape(1, y_n, 1)
+        pz = ((jnp.arange(z_n, dtype=dtype) + 0.5) / z_n * 2.0 - 1.0).reshape(z_n, 1, 1)
+        nx_ = jnp.where(degenerate, px, nx_)
+        ny_ = jnp.where(degenerate, py, ny_)
+        nz_ = jnp.where(degenerate, pz, nz_)
 
-        world_dir = transform_vector(grad, params.world)
-        world_dir = world_dir / jnp.maximum(
-            jnp.linalg.norm(world_dir, axis=-1, keepdims=True), 1e-12
-        )
-        irradiance = evaluate_sh_irradiance(
-            sh_coeffs.astype(dtype), world_dir
-        )
+        # world rotation (row-vector convention: d_world = d @ W3x3).
+        w3 = params.world[:3, :3]
+        wx = nx_ * w3[0, 0] + ny_ * w3[1, 0] + nz_ * w3[2, 0]
+        wy = nx_ * w3[0, 1] + ny_ * w3[1, 1] + nz_ * w3[2, 1]
+        wz = nx_ * w3[0, 2] + ny_ * w3[1, 2] + nz_ * w3[2, 2]
+        inv = 1.0 / jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-24))
+        from fluidx12_tpu.gi.sh import evaluate_sh_irradiance_planar
 
-        # Six axis sweeps; AO = sum of positive direction components.
-        sweeps = []
-        for ax, sgn in _AXIS_SWEEPS:
-            d6 = jnp.zeros(3, dtype).at[ax].set(float(sgn))
-            sweeps.append(directional_transmittance(
-                density, d6, ax, ref_step, config.absorption, flip=sgn > 0))
-        sweeps = jnp.stack(sweeps, axis=-1)  # (Z, Y, X, 6)
-        comp = jnp.stack([
-            jnp.maximum(grad[..., 0], 0.0), jnp.maximum(-grad[..., 0], 0.0),
-            jnp.maximum(grad[..., 1], 0.0), jnp.maximum(-grad[..., 1], 0.0),
-            jnp.maximum(grad[..., 2], 0.0), jnp.maximum(-grad[..., 2], 0.0),
-        ], axis=-1)
-        comp = comp / jnp.maximum(comp.sum(axis=-1, keepdims=True), 1e-8)
-        ao = jnp.sum(sweeps * comp, axis=-1)
-        ambient = jnp.where(dense[..., None], irradiance * ao[..., None], 0.0)
+        irradiance = evaluate_sh_irradiance_planar(
+            sh_coeffs.astype(dtype), wx * inv, wy * inv, wz * inv)  # (3,Z,Y,X)
+
+        ao = _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config)
+        ambient = jnp.where(dense[None], irradiance * ao[None], 0.0)
     else:
-        ambient = jnp.broadcast_to(
-            params.ambient[:3] * params.ambient[3], density.shape + (3,)
-        ).astype(dtype)
+        ambient = (params.ambient[:3] * params.ambient[3])[:, None, None, None]
 
-    light = env_light * shadow[..., None] + ambient
-    return jnp.moveaxis(light, -1, 0).astype(dtype)
+    light = env3 * shadow[None] + ambient  # (3, Z, Y, X), never (..., 3)
+    return light.astype(dtype)
+
+
+def _gradient(density):
+    """(gz, gy, gx) like jnp.gradient, via one streaming Pallas pass on TPU
+    (ops/pallas/stencil.py); XLA's three materialized-shift passes on CPU /
+    unaligned grids."""
+    from fluidx12_tpu.ops.pallas.stencil import (
+        gradient3_pallas,
+        stencil_pallas_supported,
+    )
+
+    if jax.default_backend() == "tpu" and stencil_pallas_supported(density.shape):
+        g = gradient3_pallas(density.astype(jnp.float32)).astype(density.dtype)
+        return g[2], g[1], g[0]
+    return jnp.gradient(density)
+
+
+def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config):
+    """6-sweep AO blended by the (unnormalized) gradient direction.
+
+    Runs at HALF resolution when the grid allows: occlusion is an integral,
+    low-frequency quantity, and the six directional sweeps are the dominant
+    GI cost (6x the shadow sweep).  A 2x box-down + trilinear-up cuts them
+    ~8x; the blend weights also come from the half-res gradient.  Falls back
+    to full resolution on odd/small grids.
+    """
+    dtype = density.dtype
+    half = all(n % 2 == 0 and n >= 32 for n in density.shape)
+    if half:
+        from fluidx12_tpu.sim.mg import _prolong, _restrict
+
+        dens_s = _restrict(density.astype(jnp.float32)).astype(dtype)
+        gz, gy, gx = _gradient(dens_s)
+        cx, cy, cz = -gx, -gy, -gz
+    else:
+        dens_s = density
+        cx, cy, cz = nx_, ny_, nz_
+
+    sweeps = []
+    for ax, sgn in _AXIS_SWEEPS:
+        d6 = jnp.zeros(3, dtype).at[ax].set(float(sgn))
+        sweeps.append(directional_transmittance(
+            dens_s, d6, ax, ref_step, config.absorption, flip=sgn > 0))
+    comp = [jnp.maximum(cx, 0.0), jnp.maximum(-cx, 0.0),
+            jnp.maximum(cy, 0.0), jnp.maximum(-cy, 0.0),
+            jnp.maximum(cz, 0.0), jnp.maximum(-cz, 0.0)]
+    total = jnp.maximum(sum(comp), 1e-8)
+    ao = sum(s * c for s, c in zip(sweeps, comp)) / total
+    if half:
+        ao = _prolong(ao.astype(jnp.float32)).astype(dtype)
+    return ao

@@ -41,12 +41,23 @@ def ray_march_cube(
     lod: int = 0,
     light_map: Optional[jax.Array] = None,
     sh_coeffs: Optional[jax.Array] = None,
-) -> jax.Array:
-    """March the volume into a (6, R, R, 4) cube map, R = cube_map_size >> lod."""
+    depth_map: Optional[jax.Array] = None,
+    shadow_map: Optional[jax.Array] = None,
+    shadow_view_proj: Optional[jax.Array] = None,
+):
+    """March the volume into a (6, R, R, 4) cube map, R = cube_map_size >> lod.
+
+    depth_map (H, W clip z) bounds each texel ray at scene geometry and the
+    function then returns (cube, cube_depth) with cube_depth (6, R, R) = the
+    clip z sampled along each ray, for the depth-aware resolve
+    (`_HAS_DEPTH_MAP_`: GetClipPos + GetTMax + g_rwCubeDepth,
+    CSRayMarch.hlsl:79-93, :121-125; dormant in the reference app).
+    shadow_map darkens merged-mode shadow rays (`_HAS_SHADOW_MAP_`)."""
     size = max(config.cube_map_size >> lod, 1)
     dtype = config.render_dtype
     grid = grid.astype(dtype)  # storage may be f16; march math in render dtype
-    env = make_light_env(params, sh_coeffs, config)
+    env = make_light_env(params, sh_coeffs, config,
+                         shadow_map=shadow_map, shadow_view_proj=shadow_view_proj)
 
     # Local-space eye (CSRayMarch.hlsl:104: mul(eyePt, worldI)).
     local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
@@ -58,6 +69,24 @@ def ray_march_cube(
     origin = jnp.broadcast_to(local_eye, targets.shape)
     origin, hit = compute_ray_origin(origin, ray_dir)
     t_max = compute_target_hit(origin, targets, ray_dir)
+
+    cube_depth = None
+    if depth_map is not None:
+        # GetClipPos (CSRayMarch.hlsl:79-93): project a point just inside
+        # the box entry to screen uv, point-sample the scene depth there,
+        # and clamp the march at its unprojection (GetTMax, :121-125).
+        from fluidx12_tpu.ops.transform import transform_point
+        from fluidx12_tpu.render.raymarch_core import get_t_max
+
+        h, w = depth_map.shape
+        hp = transform_point(origin + 0.01 * ray_dir, params.world_view_proj)
+        clip_xy = hp[..., :2]
+        iu = jnp.clip(((clip_xy[..., 0] * 0.5 + 0.5) * w).astype(jnp.int32), 0, w - 1)
+        iv = jnp.clip(((1.0 - (clip_xy[..., 1] * 0.5 + 0.5)) * h).astype(jnp.int32), 0, h - 1)
+        z = jnp.take(depth_map.reshape(-1), (iv * w + iu).reshape(-1),
+                     axis=0).reshape(iu.shape).astype(dtype)
+        t_max = jnp.minimum(t_max, get_t_max(clip_xy, z, origin, ray_dir, params))
+        cube_depth = z  # g_rwCubeDepth[DTid] = pos.z (CSRayMarch.hlsl:124)
 
     # Face visibility: host-computed mask bit (cull modes 1/2) or the
     # in-graph eye-side test (mode 0); CSRayMarch.hlsl:100-112.
@@ -82,4 +111,6 @@ def ray_march_cube(
     )
     if config.quantize_cube_map:
         scatter = quantize_unorm8(scatter)
+    if cube_depth is not None:
+        return scatter, cube_depth
     return scatter

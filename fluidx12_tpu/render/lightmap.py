@@ -38,9 +38,16 @@ def render_light_map(
     params: SceneParams,
     config: FluidConfig,
     sh_coeffs: Optional[jax.Array] = None,
+    shadow_map: Optional[jax.Array] = None,
+    shadow_view_proj: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Compute the (3, Z, Y, X) light map from the RGBA grid (4, Z, Y, X)."""
-    env = make_light_env(params, sh_coeffs, config)
+    """Compute the (3, Z, Y, X) light map from the RGBA grid (4, Z, Y, X).
+
+    A shadow map seeds each voxel's shadow-ray transmittance with the
+    comparison result at the voxel's world position (`_HAS_SHADOW_MAP_`,
+    CSRayMarchL.hlsl:28-33 -- dormant in the reference app)."""
+    env = make_light_env(params, sh_coeffs, config,
+                         shadow_map=shadow_map, shadow_view_proj=shadow_view_proj)
     z, y, x = config.zyx
     dtype = config.render_dtype
     grid = grid.astype(dtype)  # storage may be f16
@@ -62,13 +69,19 @@ def render_light_map(
 
     # Shadow ray toward the light; result ignored where the voxel is empty
     # (the reference skips the march there, CSRayMarchL.hlsl:43).
-    from fluidx12_tpu.render.raymarch_core import light_direction_at
+    from fluidx12_tpu.render.raymarch_core import light_direction_at, shadow_test
 
+    shadow0 = jnp.ones_like(d_here)
+    if shadow_map is not None:
+        from fluidx12_tpu.ops.transform import transform_point_h
+
+        world_pos = transform_point_h(pos, env.world44)[..., :3]
+        shadow0 = shadow_test(world_pos, shadow_map, shadow_view_proj)
     shadow = cast_light_ray(
-        density, jnp.ones_like(d_here), pos, light_direction_at(env, pos), step,
+        density, shadow0, pos, light_direction_at(env, pos), step,
         config.max_light_samples, num, config,
     )
-    shadow = jnp.where(dense, shadow, 1.0)
+    shadow = jnp.where(dense, shadow, shadow0)
 
     if env.has_probe:
         grad = -density_gradient(grid, uvw)

@@ -54,12 +54,19 @@ class LightEnv(NamedTuple):
     sh_coeffs: jax.Array     # (9, 3) SH irradiance coefficients (zeros if none)
     has_probe: bool          # static: light probe attached
     point_light: bool        # static: per-position light direction
+    world44: Optional[jax.Array] = None        # (4, 4) volume->world (shadow map)
+    shadow_map: Optional[jax.Array] = None     # (H, W) light-space depth
+    shadow_view_proj: Optional[jax.Array] = None  # (4, 4) world->light clip
 
 
-def make_light_env(params: SceneParams, sh_coeffs: Optional[jax.Array], config: FluidConfig) -> LightEnv:
+def make_light_env(params: SceneParams, sh_coeffs: Optional[jax.Array],
+                   config: FluidConfig,
+                   shadow_map: Optional[jax.Array] = None,
+                   shadow_view_proj: Optional[jax.Array] = None) -> LightEnv:
     """Build local-space lighting (ref: CSRayMarch.hlsl:131-139: directional
     via `mul(g_lightPt, (float3x3)g_worldI)`, or point via the full inverse
-    transform under `_POINT_LIGHT_`)."""
+    transform under `_POINT_LIGHT_`).  A shadow map + its view-projection
+    enable the `_HAS_SHADOW_MAP_` path (dormant in the reference app)."""
     local_light = transform_vector(params.light_pt, params.world_i)
     light_dir = local_light / jnp.linalg.norm(local_light)
     from fluidx12_tpu.ops.transform import transform_point_h
@@ -75,6 +82,9 @@ def make_light_env(params: SceneParams, sh_coeffs: Optional[jax.Array], config: 
         sh_coeffs=sh_coeffs if sh_coeffs is not None else jnp.zeros((9, 3), jnp.float32),
         has_probe=has_probe,
         point_light=config.point_light,
+        world44=params.world,
+        shadow_map=shadow_map,
+        shadow_view_proj=shadow_view_proj,
     )
 
 
@@ -129,6 +139,58 @@ def density_gradient(grid: jax.Array, uvw: jax.Array) -> jax.Array:
     gy = tap([0, 1, 0]) - tap([0, -1, 0])
     gz = tap([0, 0, 1]) - tap([0, 0, -1])
     return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def unproject_z(depth, z_near: float, z_far: float):
+    """Clip-space depth -> linear view-space z (UnprojectZ, PSCube.hlsli:31-36)."""
+    return (z_near * z_far) / (depth * (z_near - z_far) + z_far)
+
+
+def get_t_max(clip_xy: jax.Array, clip_z: jax.Array, origin: jax.Array,
+              ray_dir: jax.Array, params: SceneParams) -> jax.Array:
+    """Occluded end point from a scene depth value (GetTMax,
+    RayMarch.hlsli:100-114, the `_HAS_DEPTH_MAP_` path): unproject the
+    clip-space position to local space and return its ray parameter;
+    far-plane depths are unoccluded (FLT_MAX)."""
+    from fluidx12_tpu.ops.transform import transform_ndc
+
+    pos = transform_ndc(clip_xy, clip_z[..., None], params.world_view_proj_i)
+    t = (pos - origin) / ray_dir
+    t_max = jnp.max(t, axis=-1)
+    return jnp.where(clip_z >= 1.0, jnp.asarray(jnp.inf, t_max.dtype), t_max)
+
+
+def shadow_test(world_pos: jax.Array, shadow_map: jax.Array,
+                shadow_view_proj: jax.Array, bias: float = 0.0027) -> jax.Array:
+    """PCF comparison sample of an ortho shadow map (ShadowTest,
+    RayMarch.hlsli:121-131, the `_HAS_SHADOW_MAP_` path): project into
+    light clip space and bilinearly filter the per-tap comparison
+    (depth >= ref - bias), the software form of SampleCmpLevelZero."""
+    from fluidx12_tpu.ops.transform import transform_point_h
+
+    ls = transform_point_h(world_pos, shadow_view_proj)[..., :3]  # ortho: no /w
+    u = ls[..., 0] * 0.5 + 0.5
+    v = 1.0 - (ls[..., 1] * 0.5 + 0.5)
+    ref = ls[..., 2] - bias
+
+    h, w = shadow_map.shape
+    tu = u * w - 0.5
+    tv = v * h - 0.5
+    u0 = jnp.clip(jnp.floor(tu).astype(jnp.int32), 0, w - 1)
+    v0 = jnp.clip(jnp.floor(tv).astype(jnp.int32), 0, h - 1)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    v1 = jnp.minimum(v0 + 1, h - 1)
+    fu = jnp.clip(tu - u0, 0.0, 1.0)
+    fv = jnp.clip(tv - v0, 0.0, 1.0)
+    flat = shadow_map.reshape(-1)
+
+    def cmp(vv, uu):
+        d = jnp.take(flat, (vv * w + uu).reshape(-1), axis=0).reshape(uu.shape)
+        return (d >= ref).astype(ref.dtype)
+
+    top = cmp(v0, u0) * (1.0 - fu) + cmp(v0, u1) * fu
+    bot = cmp(v1, u0) * (1.0 - fu) + cmp(v1, u1) * fu
+    return top * (1.0 - fv) + bot * fv
 
 
 def compute_ray_origin(origin: jax.Array, ray_dir: jax.Array):
@@ -218,9 +280,18 @@ def eval_light_merged(
     config: FluidConfig,
 ) -> jax.Array:
     """Per-sample lighting in merged mode (GetLight, RayMarch.hlsli:261-295):
-    shadow ray toward the light + (optionally) SH irradiance with an AO ray."""
+    shadow ray toward the light + (optionally) SH irradiance with an AO ray.
+    With a shadow map attached, the map's comparison result seeds the light
+    ray's transmittance (RayMarch.hlsli:263-269: ShadowTest then
+    CastLightRay only while shadow > ZERO_THRESHOLD -- cast_light_ray's
+    alive0 mask implements exactly that guard)."""
     density = grid[-1:]
     ones = jnp.ones(pos.shape[:-1], pos.dtype)
+    if env.shadow_map is not None:
+        from fluidx12_tpu.ops.transform import transform_point_h
+
+        world_pos = transform_point_h(pos, env.world44)[..., :3]
+        ones = shadow_test(world_pos, env.shadow_map, env.shadow_view_proj)
     light_dir = light_direction_at(env, pos)
     shadow = cast_light_ray(
         density, ones, pos, light_dir, light_step,

@@ -19,6 +19,8 @@ the filtered alpha is zero.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -287,12 +289,80 @@ def cube_cast_blocked(
     return out.transpose(2, 0, 3, 1, 4).reshape(h, w, c)
 
 
+def cube_cast_depth_aware(
+    cube: jax.Array,
+    cube_depth: jax.Array,
+    face: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    scene_depth: jax.Array,
+    z_near: float,
+    z_far: float,
+) -> jax.Array:
+    """Depth-bilateral AA fetch (`_HAS_DEPTH_MAP_` CubeCast, PSCube.hlsli:
+    82-116; dormant in the reference app): each bilinear corner's weight is
+    scaled by max(1 - 0.5 |lin(sceneZ) - lin(cornerZ)|, 0) in linear view-z,
+    suppressing texels whose marched depth disagrees with the geometry under
+    the pixel (halo prevention at depth edges).  Zero total weight falls
+    back to the plain bilinear fetch (:118).
+
+    cube (6, R, R, c); cube_depth (6, R, R) clip z; scene_depth per pixel.
+    Packs rgba + depth into one 4*(c+1)-float record per texel, so the
+    depth variant still costs a single row gather per pixel.
+    """
+    size = cube.shape[1]
+    c = cube.shape[-1]
+    ut = u * size - 0.5
+    vt = v * size - 0.5
+
+    cd = jnp.concatenate([cube, cube_depth[..., None].astype(cube.dtype)], axis=-1)
+    cc = c + 1
+    rec_dtype = jnp.bfloat16 if size >= 64 else cd.dtype
+    cb = cd.astype(rec_dtype)
+    right = jnp.concatenate([cb[:, :, 1:], cb[:, :, -1:]], axis=2)
+    down = jnp.concatenate([cb[:, 1:], cb[:, -1:]], axis=1)
+    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    records = jnp.concatenate([cb, right, down, down_right], axis=-1)
+    records = records.reshape(cube.shape[0] * size * size, 4 * cc)
+
+    u0 = jnp.clip(jnp.floor(ut).astype(jnp.int32), 0, size - 2)
+    v0 = jnp.clip(jnp.floor(vt).astype(jnp.int32), 0, size - 2)
+    lin = (face * size + v0) * size + u0
+    fetched = jnp.take(records, lin.reshape(-1), axis=0).reshape(lin.shape + (4 * cc,))
+    fu = jnp.clip(ut - u0, 0.0, 1.0)
+    fv = jnp.clip(vt - v0, 0.0, 1.0)
+
+    from fluidx12_tpu.render.raymarch_core import unproject_z
+
+    depth_lin = unproject_z(scene_depth.astype(jnp.float32), z_near, z_far)
+    corners = [fetched[..., i * cc : (i + 1) * cc].astype(jnp.float32)
+               for i in range(4)]  # s00, s10, s01, s11
+    wb = [(1.0 - fu) * (1.0 - fv), fu * (1.0 - fv),
+          (1.0 - fu) * fv, fu * fv]
+    num = 0.0
+    ws = 0.0
+    plain = 0.0
+    for s, w_b in zip(corners, wb):
+        zi = unproject_z(s[..., c], z_near, z_far)
+        w = w_b * jnp.maximum(1.0 - 0.5 * jnp.abs(depth_lin - zi), 0.0)
+        num = num + s[..., :c] * w[..., None]
+        ws = ws + w
+        plain = plain + s[..., :c] * w_b[..., None]
+    return jnp.where(ws[..., None] > 0.0, num / jnp.maximum(ws[..., None], 1e-12),
+                     plain).astype(u.dtype)
+
+
 def resolve_cube(
     cube: jax.Array,
     params: SceneParams,
     config: FluidConfig,
+    cube_depth: Optional[jax.Array] = None,
+    depth_map: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Resolve the cube map to the viewport; returns (H, W, 4) premultiplied RGBA."""
+    """Resolve the cube map to the viewport; returns (H, W, 4) premultiplied RGBA.
+
+    With cube_depth (from ray_march_cube's depth path) + the scene depth_map,
+    the fetch becomes the depth-bilateral CubeCast (`_HAS_DEPTH_MAP_`)."""
     h, w = config.viewport[1], config.viewport[0]
     dtype = config.render_dtype
 
@@ -310,7 +380,11 @@ def resolve_cube(
     face, u, v = _cube_texcoord(hit_pos, plane)
     face = jnp.where(is_hit, face, 0)
 
-    if config.block_resolve and h % 2 == 0 and w % 2 == 0 and cube.shape[1] >= 8:
+    if cube_depth is not None and depth_map is not None:
+        rgba = cube_cast_depth_aware(
+            cube.astype(dtype), cube_depth, face, u, v,
+            depth_map.astype(dtype), config.z_near, config.z_far)
+    elif config.block_resolve and h % 2 == 0 and w % 2 == 0 and cube.shape[1] >= 8:
         rgba = cube_cast_blocked(cube.astype(dtype), face, u, v, hit_pos, is_hit)
     else:
         rgba = cube_cast(cube.astype(dtype), face, u, v, hit_pos, ray_dir)

@@ -258,3 +258,90 @@ def test_blocked_resolve_matches_per_pixel_cast():
     # Seam + grazing bands: bounded deviation on a small fraction of pixels.
     assert d.max() <= 0.75
     assert (d > 2 / 255).sum() <= 0.08 * hit.sum()
+
+
+def test_depth_map_bounds_direct_march():
+    """`_HAS_DEPTH_MAP_` (PSRayCast.hlsl:30-35, :52-56): a near depth plane
+    over half the screen truncates those rays' marches."""
+    import jax.numpy as jnp
+    from tests.test_fastpath import _smoke_grid
+
+    cfg = tiny_config()
+    grid = jnp.asarray(_smoke_grid())
+    params = scene(cfg)
+    lm = render_light_map(grid, params, cfg)
+    h, w = cfg.viewport[1], cfg.viewport[0]
+
+    far = jnp.ones((h, w), jnp.float32)          # no occluder
+    near = far.at[:, : w // 2].set(0.05)         # geometry close to the camera
+    img_free = np.asarray(ray_cast_direct(grid, params, cfg, light_map=lm,
+                                          depth_map=far))
+    img_occl = np.asarray(ray_cast_direct(grid, params, cfg, light_map=lm,
+                                          depth_map=near))
+    img_none = np.asarray(ray_cast_direct(grid, params, cfg, light_map=lm))
+    # Far-plane depth == unbounded march.
+    np.testing.assert_allclose(img_free, img_none, atol=1e-6)
+    # The occluded half loses smoke alpha; the free half is untouched.
+    assert img_occl[:, w // 2:, 3].sum() == img_free[:, w // 2:, 3].sum()
+    assert img_occl[:, : w // 2, 3].sum() < img_free[:, : w // 2, 3].sum() - 1.0
+
+
+def test_shadow_map_darkens_light_map():
+    """`_HAS_SHADOW_MAP_` (CSRayMarchL.hlsl:28-33, RayMarch.hlsli:121-131):
+    an all-blocking ortho shadow map zeroes the direct term, an all-open one
+    reproduces the unshadowed map."""
+    import jax.numpy as jnp
+    from tests.test_fastpath import _smoke_grid
+    from fluidx12_tpu.core import math3d as m3
+
+    cfg = tiny_config()
+    grid = jnp.asarray(_smoke_grid())
+    params = scene(cfg)
+    # Identity light view-proj: world xy in [-1,1] maps onto the map; depth
+    # compare against world z.
+    svp = jnp.eye(4, dtype=jnp.float32)
+    open_map = jnp.full((32, 32), 1e6, jnp.float32)   # depth >= ref everywhere
+    block_map = jnp.full((32, 32), -1e6, jnp.float32)  # fails everywhere
+
+    lm_plain = np.asarray(render_light_map(grid, params, cfg))
+    lm_open = np.asarray(render_light_map(grid, params, cfg,
+                                          shadow_map=open_map, shadow_view_proj=svp))
+    lm_block = np.asarray(render_light_map(grid, params, cfg,
+                                           shadow_map=block_map, shadow_view_proj=svp))
+    np.testing.assert_allclose(lm_open, lm_plain, atol=1e-5)
+    # Fully shadowed: only the ambient term remains.
+    ambient = np.asarray(params.ambient[:3] * params.ambient[3])
+    np.testing.assert_allclose(
+        lm_block, np.broadcast_to(ambient[:, None, None, None], lm_block.shape),
+        atol=1e-5)
+
+
+def test_depth_aware_cube_resolve():
+    """`_HAS_DEPTH_MAP_` cube path (CSRayMarch.hlsl:121-125 + PSCube.hlsli:
+    82-118): far-plane depth reproduces the plain resolve; a near occluder
+    empties the cube on those rays."""
+    import jax.numpy as jnp
+    from tests.test_fastpath import _smoke_grid
+    from fluidx12_tpu.render.cubemap import ray_march_cube
+
+    cfg = tiny_config()
+    grid = jnp.asarray(_smoke_grid())
+    params = scene(cfg)
+    lm = render_light_map(grid, params, cfg)
+    h, w = cfg.viewport[1], cfg.viewport[0]
+    far = jnp.ones((h, w), jnp.float32)
+
+    cube_plain = ray_march_cube(grid, params, cfg, light_map=lm)
+    cube_d, cube_depth = ray_march_cube(grid, params, cfg, light_map=lm,
+                                        depth_map=far)
+    np.testing.assert_allclose(np.asarray(cube_d), np.asarray(cube_plain), atol=1e-6)
+    img_plain = np.asarray(resolve_cube(cube_plain, params, cfg))
+    img_depth = np.asarray(resolve_cube(cube_d, params, cfg,
+                                        cube_depth=cube_depth, depth_map=far))
+    # Uniform far depth: bilateral weights are uniform -> same image.
+    np.testing.assert_allclose(img_depth, img_plain, atol=2e-2)
+
+    near = jnp.full((h, w), 0.05, jnp.float32)
+    cube_n, cube_depth_n = ray_march_cube(grid, params, cfg, light_map=lm,
+                                          depth_map=near)
+    assert np.asarray(cube_n)[..., 3].sum() < np.asarray(cube_plain)[..., 3].sum() - 1.0

@@ -113,3 +113,40 @@ def test_jacobi_pallas_full_plane_tall_slab():
     ref = np.asarray(jacobi_sweeps(q, b, 8, True))
     got = np.asarray(jacobi_pallas(q, b, 8, slab=32, inner=4))
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_composite_kernel_matches_xla_chain():
+    """Streaming compositor (ops/pallas/composite.py, interpret mode) vs the
+    slicecomp XLA chain it replaces, both march directions."""
+    import jax.numpy as jnp
+    from fluidx12_tpu.ops.pallas.composite import (
+        composite_pallas, composite_supported)
+
+    rng = np.random.default_rng(3)
+    ns, r1, r2 = 16, 16, 128
+    absorption = 0.8
+    dens = jnp.asarray(rng.uniform(0, 1, (ns, r1, r2)).astype(np.float32))
+    prod = jnp.asarray(rng.uniform(0, 1, (3, ns, r1, r2)).astype(np.float32))
+    nst = jnp.asarray(rng.uniform(0.5, 2, (r1, r2)).astype(np.float32))
+    assert composite_supported(ns, r1, r2)
+
+    def xla_chain(flip):
+        d = jnp.clip(dens, 0, 1)
+        a_ref = jnp.clip(d * absorption, 0, 0.999)
+        alpha = jnp.clip(1 - jnp.power(1 - a_ref, nst[None]), 0, 1 - 1e-6)
+        one_m = 1 - alpha
+        if not flip:
+            cp = jnp.cumprod(one_m, axis=0)
+            transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], 0)
+        else:
+            cp = jnp.cumprod(one_m[::-1], 0)
+            transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], 0)[::-1]
+        w = alpha * transm
+        w_rate = jnp.where(d > 0, w / jnp.maximum(d, 1e-6), 0)
+        rgb = jnp.einsum("cmrs,mrs->crs", prod, w_rate)
+        return jnp.concatenate([w.sum(0)[None], rgb], 0)
+
+    for flip in (False, True):
+        ref = np.asarray(xla_chain(flip))
+        got = np.asarray(composite_pallas(dens, prod, nst, absorption, flip))
+        np.testing.assert_allclose(got, ref, atol=5e-4)

@@ -272,17 +272,18 @@ def _plan_planewise(shape, inner: int):
         size_z = slab + 2 * halo
         if nz % slab or nz < size_z or size_z % _CHUNK:
             continue
-        for ytile in (128, 64, 32, 16, 8):
-            if ny % ytile or ny < ytile + 2 * halo:
+        for ytile in (256, 128, 64, 32, 16, 8):
+            # ytile == ny is the full-width window (no lateral halo).
+            if ny % ytile or (ytile != ny and ny < ytile + 2 * halo):
                 continue
-            size_y = ytile + 2 * halo
+            size_y = min(ytile + 2 * halo, ny)
             size = (size_z * 3 + _CHUNK * 8) * size_y * nx * 4
             if size > budget:
                 continue
             # Tie-break toward wide y-windows: the sweep loops over z-chunks,
             # so fewer/larger (size_y, X) planes amortize loop overhead.
-            key = (round((1 + 2 * halo / slab) * (1 + 2 * halo / ytile), 4),
-                   -ytile)
+            y_red = 1.0 if ytile == ny else 1 + 2 * halo / ytile
+            key = (round((1 + 2 * halo / slab) * y_red, 4), -ytile)
             if best is None or key < best[0]:
                 best = (key, slab, ytile, halo)
     if best is None:
@@ -294,10 +295,12 @@ def jacobi_tuning(shape, iters: int):
     """Best measured (slab, inner) for this volume, or None if unsupported.
 
     Full-plane volumes (plane <= 128x128) relax fastest with shallow halos
-    and tall slabs in the whole-window kernel (v5e, 64 sweeps at 128^3:
-    slab=32/inner=4 2.8 ms vs slab=16/inner=8 3.2 ms); bigger planes use
-    the plane-sweep kernel with inner=8 windows (256^3: 25 ms -> see
-    _planewise_kernel).
+    and tall slabs in the whole-window kernel; bigger planes use the
+    plane-sweep kernel with inner=8 windows.  Measured IN-PROGRAM (the only
+    honest comparison on this relay -- standalone timings reversed the
+    verdict twice): 64 sweeps at 128^3 inside the sim step, whole-window
+    (32,4) 3.38 ms vs plane-sweep (32,8) 3.82 ms; at 256^3 the plane-sweep
+    windows are ~5x faster than y-tiled whole-window.
     """
     nz, ny, nx = shape
     if nx % 128:
@@ -310,12 +313,12 @@ def jacobi_tuning(shape, iters: int):
         for slab, inner in ((32, 4), (16, 8)):
             if iters % inner == 0 and _plan(shape, slab, inner) is not None:
                 return slab, inner
-        return None
     for inner in (8, 4):
         if iters % inner == 0 and _plan_planewise(shape, inner) is not None:
             return _plan_planewise(shape, inner)[0], inner
-    if iters % 8 == 0 and _plan(shape, 16, 8) is not None:
-        return 16, 8
+    for slab, inner in ((32, 4), (16, 8)):
+        if iters % inner == 0 and _plan(shape, slab, inner) is not None:
+            return slab, inner
     return None
 
 

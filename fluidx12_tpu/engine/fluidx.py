@@ -141,9 +141,10 @@ class FluidXEngine:
                 # sweeps assume parallel rays, so point_light auto-falls
                 # back to the faithful per-ray paths instead of silently
                 # rendering directional light (warned once at build).
-                fast = cfg.fast_render and not cfg.point_light and (
-                    method.separate_light_pass or method.uses_cube_map
-                )
+                # Every method now has a fast twin (the DIRECT pair rides
+                # the shear-warp): the gate is only the config switch and
+                # the point-light fallback.
+                fast = cfg.fast_render and not cfg.point_light
                 if cfg.fast_render and cfg.point_light:
                     import warnings
 

@@ -127,10 +127,11 @@ class FrameLoop:
             if screenshot_every and (i + 1) % screenshot_every == 0 and screenshot_path:
                 path = screenshot_path.format(frame=i + 1)
                 write_png(path, to_srgb_u8(np.asarray(image)))
+            last = image  # before the q-check, so quitting returns/saves
+            # the frame that was just rendered, not its predecessor
             if keys is not None and self._handle_key(keys.poll(), image,
                                                      screenshot_path):
                 break
-            last = image
         if last is not None:
             last.block_until_ready()
             arr = to_srgb_u8(np.asarray(last))

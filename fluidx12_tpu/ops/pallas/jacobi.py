@@ -28,25 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _shift_lane_clamped(q, offset):
-    """Edge-clamped +-1 shift along the lane axis (full-width X)."""
-    n = q.shape[-1]
-    rolled = pltpu.roll(q, (n - offset) % n, q.ndim - 1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
-    if offset > 0:
-        return jnp.where(ids == n - 1, q, rolled)
-    return jnp.where(ids == 0, q, rolled)
-
-
-def _shift_sublane_global(q, offset, gy0, ny):
-    """+-1 shift along Y with clamping at *global* rows 0 and ny-1 only
-    (buffer rows are a halo'd window starting at global row gy0)."""
-    n = q.shape[-2]
-    rolled = pltpu.roll(q, (n - offset) % n, q.ndim - 2)
-    gids = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 2) + gy0
-    if offset > 0:
-        return jnp.where(gids == ny - 1, q, rolled)
-    return jnp.where(gids == 0, q, rolled)
+from fluidx12_tpu.ops.pallas.shifts import (
+    shift_lane_clamped as _shift_lane_clamped,
+    shift_sublane_global as _shift_sublane_global,
+)
 
 
 def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int, halo: int,

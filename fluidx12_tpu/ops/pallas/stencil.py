@@ -28,24 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _shift_lane_clamped(q, offset):
-    """Edge-clamped +-1 shift along the lane axis (full-width X)."""
-    n = q.shape[-1]
-    rolled = pltpu.roll(q, (n - offset) % n, q.ndim - 1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
-    if offset > 0:
-        return jnp.where(ids == n - 1, q, rolled)
-    return jnp.where(ids == 0, q, rolled)
-
-
-def _shift_sublane_clamped(q, offset):
-    """Edge-clamped +-1 shift along the sublane axis (full-height Y)."""
-    n = q.shape[-2]
-    rolled = pltpu.roll(q, (n - offset) % n, q.ndim - 2)
-    ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 2)
-    if offset > 0:
-        return jnp.where(ids == n - 1, q, rolled)
-    return jnp.where(ids == 0, q, rolled)
+from fluidx12_tpu.ops.pallas.shifts import (
+    shift_lane_clamped as _shift_lane_clamped,
+    shift_sublane_clamped as _shift_sublane_clamped,
+)
 
 
 def _z_neighbors(c, prev, nxt, bz, nz):

@@ -232,7 +232,7 @@ def render_light_map_fast(
         # channel-LEADING: a volume-sized (..., 3) array pads its trailing
         # dim to a full (8, 128) tile on TPU, which made this branch ~2x the
         # whole non-GI frame at 256^3 before the relayout was removed.
-        gz, gy, gx = _gradient(density)
+        gz, gy, gx = _gradient(density, config.use_pallas)
         nx_, ny_, nz_ = -gx, -gy, -gz
         norm2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
         degenerate = norm2 < 1e-16
@@ -265,16 +265,17 @@ def render_light_map_fast(
     return light.astype(dtype)
 
 
-def _gradient(density):
+def _gradient(density, use_pallas: bool = True):
     """(gz, gy, gx) like jnp.gradient, via one streaming Pallas pass on TPU
     (ops/pallas/stencil.py); XLA's three materialized-shift passes on CPU /
-    unaligned grids."""
+    unaligned grids / use_pallas=False (the config master switch)."""
     from fluidx12_tpu.ops.pallas.stencil import (
         gradient3_pallas,
         stencil_pallas_supported,
     )
 
-    if jax.default_backend() == "tpu" and stencil_pallas_supported(density.shape):
+    if (use_pallas and jax.default_backend() == "tpu"
+            and stencil_pallas_supported(density.shape)):
         g = gradient3_pallas(density.astype(jnp.float32)).astype(density.dtype)
         return g[2], g[1], g[0]
     return jnp.gradient(density)
@@ -295,8 +296,19 @@ def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config):
         from fluidx12_tpu.sim.mg import _prolong, _restrict
 
         dens_s = _restrict(density.astype(jnp.float32)).astype(dtype)
-        gz, gy, gx = _gradient(dens_s)
+        gz, gy, gx = _gradient(dens_s, config.use_pallas)
         cx, cy, cz = -gx, -gy, -gz
+        # Degenerate-gradient radial fallback, exactly as at full res
+        # (RayMarch.hlsli:279) -- without it, uniform-density cores would
+        # get all-zero blend weights and ao = 0.
+        degenerate = cx * cx + cy * cy + cz * cz < 1e-16
+        z_h, y_h, x_h = dens_s.shape
+        px = ((jnp.arange(x_h, dtype=dtype) + 0.5) / x_h * 2.0 - 1.0).reshape(1, 1, x_h)
+        py = ((jnp.arange(y_h, dtype=dtype) + 0.5) / y_h * 2.0 - 1.0).reshape(1, y_h, 1)
+        pz = ((jnp.arange(z_h, dtype=dtype) + 0.5) / z_h * 2.0 - 1.0).reshape(z_h, 1, 1)
+        cx = jnp.where(degenerate, px, cx)
+        cy = jnp.where(degenerate, py, cy)
+        cz = jnp.where(degenerate, pz, cz)
     else:
         dens_s = density
         cx, cy, cz = nx_, ny_, nz_

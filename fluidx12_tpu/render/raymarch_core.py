@@ -151,12 +151,17 @@ def get_t_max(clip_xy: jax.Array, clip_z: jax.Array, origin: jax.Array,
     """Occluded end point from a scene depth value (GetTMax,
     RayMarch.hlsli:100-114, the `_HAS_DEPTH_MAP_` path): unproject the
     clip-space position to local space and return its ray parameter;
-    far-plane depths are unoccluded (FLT_MAX)."""
+    far-plane depths are unoccluded (FLT_MAX).
+
+    The reference's max((pos - origin) / rayDir) is 0/0-fragile for
+    axis-aligned rays (NaN) and amplifies unprojection rounding by
+    1/|dir| on near-zero components; since pos lies on the ray (it is the
+    unprojection of a point sampled along it), the projection onto the unit
+    direction is the same parameter, robustly."""
     from fluidx12_tpu.ops.transform import transform_ndc
 
     pos = transform_ndc(clip_xy, clip_z[..., None], params.world_view_proj_i)
-    t = (pos - origin) / ray_dir
-    t_max = jnp.max(t, axis=-1)
+    t_max = jnp.sum((pos - origin) * ray_dir, axis=-1)
     return jnp.where(clip_z >= 1.0, jnp.asarray(jnp.inf, t_max.dtype), t_max)
 
 
@@ -287,14 +292,15 @@ def eval_light_merged(
     alive0 mask implements exactly that guard)."""
     density = grid[-1:]
     ones = jnp.ones(pos.shape[:-1], pos.dtype)
+    shadow0 = ones
     if env.shadow_map is not None:
         from fluidx12_tpu.ops.transform import transform_point_h
 
         world_pos = transform_point_h(pos, env.world44)[..., :3]
-        ones = shadow_test(world_pos, env.shadow_map, env.shadow_view_proj)
+        shadow0 = shadow_test(world_pos, env.shadow_map, env.shadow_view_proj)
     light_dir = light_direction_at(env, pos)
     shadow = cast_light_ray(
-        density, ones, pos, light_dir, light_step,
+        density, shadow0, pos, light_dir, light_step,
         max_light_samples, num_light_samples, config,
     )
 

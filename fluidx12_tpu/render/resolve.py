@@ -76,6 +76,20 @@ def _cube_texcoord(pos: jax.Array, plane: jax.Array):
     return face, uu, vv
 
 
+def _records_2x2(faces: jax.Array) -> jax.Array:
+    """(F, H, W, C) -> (F*H*W, 4C) contiguous-record table: row (f, i, j)
+    holds texel (i, j)'s edge-clamped 2x2 bilinear neighborhood, so one row
+    gather fetches a full filter footprint (the TPU gather cost model bills
+    per row, CLAUDE.md layout notes).  Shared by cube_cast, the
+    depth-bilateral variant, and the DIRECT plane warp."""
+    f, h, w, c = faces.shape
+    right = jnp.concatenate([faces[:, :, 1:], faces[:, :, -1:]], axis=2)
+    down = jnp.concatenate([faces[:, 1:], faces[:, -1:]], axis=1)
+    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    recs = jnp.concatenate([faces, right, down, down_right], axis=-1)
+    return recs.reshape(f * h * w, 4 * c)
+
+
 def cube_cast(
     cube: jax.Array,
     face: jax.Array,
@@ -111,12 +125,7 @@ def cube_cast(
     # per element (f32/bf16/uint32-packed records all time within 2% at
     # 800^2), so the encoding is chosen for accuracy, not width.
     rec_dtype = jnp.bfloat16 if cube.shape[1] >= 64 else cube.dtype
-    cb = cube.astype(rec_dtype)
-    right = jnp.concatenate([cb[:, :, 1:], cb[:, :, -1:]], axis=2)
-    down = jnp.concatenate([cb[:, 1:], cb[:, -1:]], axis=1)
-    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
-    records = jnp.concatenate([cb, right, down, down_right], axis=-1)
-    records = records.reshape(cube.shape[0] * size * size, 4 * c)
+    records = _records_2x2(cube.astype(rec_dtype))
 
     u0 = jnp.clip(jnp.floor(ut).astype(jnp.int32), 0, size - 2)
     v0 = jnp.clip(jnp.floor(vt).astype(jnp.int32), 0, size - 2)
@@ -308,22 +317,25 @@ def cube_cast_depth_aware(
 
     cube (6, R, R, c); cube_depth (6, R, R) clip z; scene_depth per pixel.
     Packs rgba + depth into one 4*(c+1)-float record per texel, so the
-    depth variant still costs a single row gather per pixel.
+    depth variant still costs a single row gather per pixel.  Depths are
+    LINEARIZED before packing: a bf16 record lane of clip-space z would be
+    amplified ~1/(1-z)^2 by the unprojection near the far plane (weight
+    flicker), while bf16 of linear view-z keeps a bounded ~0.4% relative
+    error against the |dz| bilateral scale.
     """
+    from fluidx12_tpu.render.raymarch_core import unproject_z
+
     size = cube.shape[1]
     c = cube.shape[-1]
     ut = u * size - 0.5
     vt = v * size - 0.5
 
-    cd = jnp.concatenate([cube, cube_depth[..., None].astype(cube.dtype)], axis=-1)
+    cube_depth_lin = unproject_z(cube_depth.astype(jnp.float32), z_near, z_far)
+    cd = jnp.concatenate(
+        [cube, cube_depth_lin[..., None].astype(cube.dtype)], axis=-1)
     cc = c + 1
     rec_dtype = jnp.bfloat16 if size >= 64 else cd.dtype
-    cb = cd.astype(rec_dtype)
-    right = jnp.concatenate([cb[:, :, 1:], cb[:, :, -1:]], axis=2)
-    down = jnp.concatenate([cb[:, 1:], cb[:, -1:]], axis=1)
-    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
-    records = jnp.concatenate([cb, right, down, down_right], axis=-1)
-    records = records.reshape(cube.shape[0] * size * size, 4 * cc)
+    records = _records_2x2(cd.astype(rec_dtype))
 
     u0 = jnp.clip(jnp.floor(ut).astype(jnp.int32), 0, size - 2)
     v0 = jnp.clip(jnp.floor(vt).astype(jnp.int32), 0, size - 2)
@@ -331,8 +343,6 @@ def cube_cast_depth_aware(
     fetched = jnp.take(records, lin.reshape(-1), axis=0).reshape(lin.shape + (4 * cc,))
     fu = jnp.clip(ut - u0, 0.0, 1.0)
     fv = jnp.clip(vt - v0, 0.0, 1.0)
-
-    from fluidx12_tpu.render.raymarch_core import unproject_z
 
     depth_lin = unproject_z(scene_depth.astype(jnp.float32), z_near, z_far)
     corners = [fetched[..., i * cc : (i + 1) * cc].astype(jnp.float32)
@@ -343,7 +353,7 @@ def cube_cast_depth_aware(
     ws = 0.0
     plain = 0.0
     for s, w_b in zip(corners, wb):
-        zi = unproject_z(s[..., c], z_near, z_far)
+        zi = s[..., c]  # already linear view-z (packed linearized)
         w = w_b * jnp.maximum(1.0 - 0.5 * jnp.abs(depth_lin - zi), 0.0)
         num = num + s[..., :c] * w[..., None]
         ws = ws + w

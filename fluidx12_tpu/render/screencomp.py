@@ -124,13 +124,11 @@ def _plane_cast(img: jax.Array, ut: jax.Array, vt: jax.Array) -> jax.Array:
 
     img: (Rv, Ru, c); ut/vt: per-pixel texel coords (texel centers at ints).
     """
+    from fluidx12_tpu.render.resolve import _records_2x2
+
     rv, ru, c = img.shape
     ib = img.astype(jnp.bfloat16 if min(rv, ru) >= 64 else img.dtype)
-    right = jnp.concatenate([ib[:, 1:], ib[:, -1:]], axis=1)
-    down = jnp.concatenate([ib[1:], ib[-1:]], axis=0)
-    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
-    records = jnp.concatenate([ib, right, down, down_right], axis=-1)
-    records = records.reshape(rv * ru, 4 * c)
+    records = _records_2x2(ib[None])
 
     u0 = jnp.clip(jnp.floor(ut).astype(jnp.int32), 0, ru - 2)
     v0 = jnp.clip(jnp.floor(vt).astype(jnp.int32), 0, rv - 2)

@@ -82,26 +82,29 @@ def _prolong(e: jax.Array) -> jax.Array:
     return jnp.stack([even, odd], axis=1).reshape(2 * nz, 2 * ny, 2 * nx)
 
 
-def _smooth(q: jax.Array, b: jax.Array, iters: int) -> jax.Array:
-    """Jacobi sweeps: Pallas kernels when the shape/backend supports them,
-    the XLA twin otherwise (identical update rule)."""
+def _smooth(q: jax.Array, b: jax.Array, iters: int,
+            use_pallas: bool = True) -> jax.Array:
+    """Jacobi sweeps: Pallas kernels when the shape/backend supports them
+    (and the config's master switch allows), the XLA twin otherwise
+    (identical update rule)."""
     from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas, jacobi_tuning
     from fluidx12_tpu.sim.project import jacobi_sweeps
 
     tuning = (jacobi_tuning(q.shape, iters)
-              if jax.default_backend() == "tpu" else None)
+              if use_pallas and jax.default_backend() == "tpu" else None)
     if tuning is not None:
         return jacobi_pallas(q, b, iters, *tuning)
     return jacobi_sweeps(q, b, iters, is_3d=True)
 
 
-def _residual(q: jax.Array, b: jax.Array) -> jax.Array:
+def _residual(q: jax.Array, b: jax.Array, use_pallas: bool = True) -> jax.Array:
     from fluidx12_tpu.ops.pallas.stencil import (
         residual_pallas,
         stencil_pallas_supported,
     )
 
-    if jax.default_backend() == "tpu" and stencil_pallas_supported(q.shape):
+    if (use_pallas and jax.default_backend() == "tpu"
+            and stencil_pallas_supported(q.shape)):
         return residual_pallas(q, b)
     from fluidx12_tpu.ops.sampling import neighbor_shift
 
@@ -118,16 +121,18 @@ def mg_supported(zyx) -> bool:
 
 
 def mg_solve(q: jax.Array, b: jax.Array, pre: int = 4, post: int = 4,
-             coarse_iters: int = 32) -> jax.Array:
+             coarse_iters: int = 32, use_pallas: bool = True) -> jax.Array:
     """One V(pre, post) cycle with `coarse_iters` half-grid sweeps.
 
     The A-operator is the reference's unit-coefficient 6-point form
     (sum(nb) - 6q = b, h^2 absorbed into b), so the restricted residual
     scales by 4 (= (2h/h)^2) to stay in the same form on the coarse grid.
+    use_pallas=False forces the XLA twins throughout (the config's master
+    switch, core/config.py).
     """
-    q = _smooth(q, b, pre)
-    r = _residual(q, b)
+    q = _smooth(q, b, pre, use_pallas)
+    r = _residual(q, b, use_pallas)
     r_c = _restrict(r) * 4.0
-    e_c = _smooth(jnp.zeros_like(r_c), r_c, coarse_iters)
+    e_c = _smooth(jnp.zeros_like(r_c), r_c, coarse_iters, use_pallas)
     q = q + _prolong(e_c)
-    return _smooth(q, b, post)
+    return _smooth(q, b, post, use_pallas)

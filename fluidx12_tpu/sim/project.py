@@ -157,7 +157,7 @@ def project(
         if use_mg:
             from fluidx12_tpu.sim.mg import mg_solve
 
-            q = mg_solve(q, b)
+            q = mg_solve(q, b, use_pallas=config.use_pallas and config.pallas_jacobi)
         elif tuning is not None:
             from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas
 

@@ -209,6 +209,44 @@ def _planewise_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int,
     )
 
 
+def _jacobi2d_kernel(q_ref, b_ref, out_ref, *, iters: int):
+    """All `iters` 2D sweeps in one call: a 512^2 f32 plane is 1 MB, so the
+    whole field lives in VMEM and the relaxation runs with ZERO intermediate
+    HBM round trips (the XLA form re-streams the plane every sweep;
+    CSProject2D.hlsl's 4-neighbor update, rho handled by the caller)."""
+    from fluidx12_tpu.ops.pallas.shifts import (
+        shift_lane_clamped,
+        shift_sublane_clamped,
+    )
+
+    q = q_ref[...]
+    b = b_ref[...]
+
+    def sweep(_, q):
+        s = (shift_sublane_clamped(q, +1) + shift_sublane_clamped(q, -1)
+             + shift_lane_clamped(q, +1) + shift_lane_clamped(q, -1))
+        return (s - b) / 4.0
+
+    out_ref[...] = jax.lax.fori_loop(0, iters, sweep, q)
+
+
+def jacobi2d_pallas_supported(shape) -> bool:
+    """(Y, X) plane must be lane/sublane aligned and fit VMEM with the
+    ~6 live sweep temporaries."""
+    ny, nx = shape
+    return (nx % 128 == 0 and ny % 8 == 0
+            and ny * nx * 4 * 8 <= 12 * 1024 * 1024)
+
+
+def jacobi2d_pallas(pressure: jax.Array, div: jax.Array, iters: int) -> jax.Array:
+    """Run `iters` 2D Jacobi sweeps; pressure/div (Y, X) f32."""
+    return pl.pallas_call(
+        functools.partial(_jacobi2d_kernel, iters=iters),
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=jax.ShapeDtypeStruct(pressure.shape, jnp.float32),
+    )(pressure, div)
+
+
 def _plan(shape, slab: int, inner: int):
     """Choose (slab, ytile) for a (Z, Y, X) volume; None if unsupported."""
     nz, ny, nx = shape

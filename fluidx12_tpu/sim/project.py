@@ -123,6 +123,12 @@ def project(
     tuning = None
     use_stencil = False
     use_mg = False
+    use_j2d = False
+    if config.use_pallas and config.pallas_jacobi and not is_3d:
+        from fluidx12_tpu.ops.pallas.jacobi import jacobi2d_pallas_supported
+
+        use_j2d = (jax.default_backend() == "tpu"
+                   and jacobi2d_pallas_supported(config.zyx[1:]))
     if config.use_pallas and config.pallas_jacobi and is_3d:
         from fluidx12_tpu.ops.pallas.jacobi import jacobi_tuning
         from fluidx12_tpu.ops.pallas.stencil import stencil_pallas_supported
@@ -154,7 +160,13 @@ def project(
             b = divergence_pallas(vel)
         else:
             b = divergence(vel, is_3d).astype(jnp.float32)
-        if use_mg:
+        if use_j2d:
+            from fluidx12_tpu.ops.pallas.jacobi import jacobi2d_pallas
+
+            # (1, Y, X) plane: the whole relaxation runs in VMEM.
+            q = jacobi2d_pallas(q[0], b[0],
+                                config.num_pressure_iters)[None]
+        elif use_mg:
             from fluidx12_tpu.sim.mg import mg_solve
 
             q = mg_solve(q, b, use_pallas=config.use_pallas and config.pallas_jacobi)

@@ -150,3 +150,21 @@ def test_composite_kernel_matches_xla_chain():
         ref = np.asarray(xla_chain(flip))
         got = np.asarray(composite_pallas(dens, prod, nst, absorption, flip))
         np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_jacobi2d_kernel_matches_xla():
+    """Whole-plane 2D Jacobi kernel (interpret mode) vs the XLA sweeps."""
+    import jax.numpy as jnp
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi2d_pallas, jacobi2d_pallas_supported)
+    from fluidx12_tpu.sim.project import jacobi_sweeps
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(-1, 1, (128, 128)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (128, 128)).astype(np.float32))
+    assert jacobi2d_pallas_supported((128, 128))
+    assert not jacobi2d_pallas_supported((128, 120))   # lane misalignment
+    assert not jacobi2d_pallas_supported((2048, 2048))  # VMEM overflow
+    ref = np.asarray(jacobi_sweeps(q[None], b[None], 16, False))[0]
+    got = np.asarray(jacobi2d_pallas(q, b, 16))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

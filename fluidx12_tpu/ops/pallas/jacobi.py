@@ -34,12 +34,11 @@ from fluidx12_tpu.ops.pallas.shifts import (
 )
 
 
-def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int, halo: int,
-                   inner: int, nz: int, ny: int):
-    """Grid = (z-slab, y-strip). DMA in a halo'd window, run `inner` clamped
-    sweeps in VMEM, DMA out the center."""
-    zi = pl.program_id(0)
-    yi = pl.program_id(1)
+def _window_sweeps(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int, ytile: int,
+                   halo: int, inner: int, nz: int, ny: int):
+    """DMA in one halo'd (z-slab x y-strip) window from q_hbm, run `inner`
+    clamped sweeps in VMEM, DMA the center back to out_hbm.  Shared by the
+    per-round call (_jacobi_kernel) and the fused multi-round kernel."""
     z0 = zi * slab
     y0 = yi * ytile
     size_z = slab + 2 * halo
@@ -106,8 +105,42 @@ def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int, halo: int,
     )
 
 
-def _planewise_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int,
-                      halo: int, inner: int, nz: int, ny: int,
+def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int, halo: int,
+                   inner: int, nz: int, ny: int):
+    """Grid = (z-slab, y-strip): one relaxation round per call."""
+    _window_sweeps(q_hbm, b_hbm, out_hbm, pl.program_id(0), pl.program_id(1),
+                   slab=slab, ytile=ytile, halo=halo, inner=inner, nz=nz, ny=ny)
+
+
+def _jacobi_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
+                         halo: int, inner: int, nz: int, ny: int):
+    """ALL rounds in one call: grid = (round, z-slab, y-strip) with the
+    round dim outermost (TPU grids iterate sequentially on one core, so
+    every window of round r completes before round r+1 starts -- the same
+    synchronization the per-call form bought with kernel launches).  Rounds
+    ping-pong between the two full-volume outputs; qa aliases the input
+    (input_output_aliases), so round 0 reads the caller's pressure from qa.
+    The caller takes qa for an even round count, qb for odd.  In-program
+    throughput matches the per-call form (launches overlap inside one
+    executable); the win is structural: one op, no Python call loop.
+    """
+    del qa_in  # aliased to qa: same buffer
+    r = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    kw = dict(slab=slab, ytile=ytile, halo=halo, inner=inner, nz=nz, ny=ny)
+
+    @pl.when(r % 2 == 0)
+    def _():
+        _window_sweeps(qa, b_hbm, qb, zi, yi, **kw)
+
+    @pl.when(r % 2 == 1)
+    def _():
+        _window_sweeps(qb, b_hbm, qa, zi, yi, **kw)
+
+
+def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
+                      ytile: int, halo: int, inner: int, nz: int, ny: int,
                       chunk: int = 8):
     """Plane-sweep variant for big volumes (planes > 128x128).
 
@@ -124,8 +157,6 @@ def _planewise_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int,
     anyway (halo >= inner), except at the true volume boundary where the
     clamp IS the boundary condition.
     """
-    zi = pl.program_id(0)
-    yi = pl.program_id(1)
     z0 = zi * slab
     y0 = yi * ytile
     size_z = slab + 2 * halo
@@ -207,6 +238,32 @@ def _planewise_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int,
         sem_b=pltpu.SemaphoreType.DMA,
         sem_o=pltpu.SemaphoreType.DMA,
     )
+
+
+def _planewise_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int,
+                      halo: int, inner: int, nz: int, ny: int):
+    """Grid = (z-slab, y-strip): one relaxation round per call."""
+    _planewise_window(q_hbm, b_hbm, out_hbm, pl.program_id(0), pl.program_id(1),
+                      slab=slab, ytile=ytile, halo=halo, inner=inner,
+                      nz=nz, ny=ny)
+
+
+def _planewise_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
+                            halo: int, inner: int, nz: int, ny: int):
+    """All rounds in one call (see _jacobi_fused_kernel)."""
+    del qa_in
+    r = pl.program_id(0)
+    zi = pl.program_id(1)
+    yi = pl.program_id(2)
+    kw = dict(slab=slab, ytile=ytile, halo=halo, inner=inner, nz=nz, ny=ny)
+
+    @pl.when(r % 2 == 0)
+    def _():
+        _planewise_window(qa, b_hbm, qb, zi, yi, **kw)
+
+    @pl.when(r % 2 == 1)
+    def _():
+        _planewise_window(qb, b_hbm, qa, zi, yi, **kw)
 
 
 def _jacobi2d_kernel(q_ref, b_ref, out_ref, *, iters: int):
@@ -354,8 +411,10 @@ def jacobi_pallas(pressure: jax.Array, div: jax.Array, iters: int,
     """Run `iters` Jacobi sweeps (3D only). pressure/div: (Z, Y, X) f32.
 
     Plane <= 128x128 volumes use the whole-window kernel; larger planes the
-    plane-sweep kernel (see _planewise_kernel) when its plan fits, falling
-    back to the y-tiled whole-window kernel.
+    plane-sweep kernel (see _planewise_window) when its plan fits, falling
+    back to the y-tiled whole-window kernel.  All rounds run in ONE
+    pallas_call (round-outermost grid, ping-pong full-volume outputs, input
+    aliased to the first; see _jacobi_fused_kernel).
     """
     if iters % inner:
         raise ValueError("iters must be a multiple of inner")
@@ -365,7 +424,7 @@ def jacobi_pallas(pressure: jax.Array, div: jax.Array, iters: int,
     if pw is not None:
         slab, ytile, halo = pw
         kernel = functools.partial(
-            _planewise_kernel, slab=slab, ytile=ytile, halo=halo,
+            _planewise_fused_kernel, slab=slab, ytile=ytile, halo=halo,
             inner=inner, nz=nz, ny=ny)
     else:
         plan = _plan(pressure.shape, slab, inner)
@@ -373,22 +432,22 @@ def jacobi_pallas(pressure: jax.Array, div: jax.Array, iters: int,
             raise ValueError(f"unsupported volume shape {pressure.shape}")
         slab, ytile = plan
         kernel = functools.partial(
-            _jacobi_kernel, slab=slab, ytile=ytile, halo=inner, inner=inner,
-            nz=nz, ny=ny)
+            _jacobi_fused_kernel, slab=slab, ytile=ytile, halo=inner,
+            inner=inner, nz=nz, ny=ny)
 
-    call = pl.pallas_call(
+    rounds = iters // inner
+    shape = jax.ShapeDtypeStruct(pressure.shape, jnp.float32)
+    qa, qb = pl.pallas_call(
         kernel,
         interpret=(jax.default_backend() == "cpu"),
-        out_shape=jax.ShapeDtypeStruct(pressure.shape, jnp.float32),
-        grid=(nz // slab, ny // ytile),
+        out_shape=(shape, shape),
+        grid=(rounds, nz // slab, ny // ytile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-    )
-
-    q = pressure
-    for _ in range(iters // inner):
-        q = call(q, div)
-    return q
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        input_output_aliases={0: 0},
+    )(pressure, div)
+    return qa if rounds % 2 == 0 else qb

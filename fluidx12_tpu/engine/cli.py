@@ -40,8 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fps", action="store_true", help="hide FPS readout (ref: F1)")
     p.add_argument("--interactive", action="store_true",
                    help="live hotkeys on a TTY: Space pause, f FPS, arrows "
-                        "method, s screenshot, x fast/faithful stack, q quit "
-                        "(ref OnKeyUp: Space/F1/Left/Right/F11/X)")
+                        "method, s screenshot, x fast/faithful stack, "
+                        "a/d/w/z orbit + +/- dolly (camera), q quit "
+                        "(ref OnKeyUp + mouse camera, FluidX12.cpp:311-396)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--profile-passes", action="store_true",

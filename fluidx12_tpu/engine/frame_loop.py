@@ -166,6 +166,25 @@ class FrameLoop:
             fast = eng.toggle_ez()
             print(f"[fluidx12-tpu] stack: {'fast' if fast else 'faithful'} "
                   f"(recompiling next frame)")
+        elif key in ("a", "d", "w", "z", "+", "-"):
+            # Camera interaction: the reference tracks the mouse
+            # (OnLButtonDown/OnMouseMove -> orbit, OnMouseWheel -> dolly,
+            # FluidX12.cpp:337-396); on a terminal the same controls ride
+            # keys: a/d orbit horizontally, w/z vertically, +/- dolly.
+            cam = eng.camera
+            step_px = cam.width * 0.04
+            if key == "a":
+                cam.orbit(-step_px, 0.0)
+            elif key == "d":
+                cam.orbit(step_px, 0.0)
+            elif key == "w":
+                cam.orbit(0.0, -step_px)
+            elif key == "z":
+                cam.orbit(0.0, step_px)
+            elif key == "+":
+                cam.dolly(1.0)
+            else:
+                cam.dolly(-1.0)
         elif key == "q":
             return True
         return False

@@ -192,6 +192,16 @@ def test_live_hotkeys_drive_engine(tmp_path):
     loop._handle_key("x", img, None)
     assert engine.config.fast_render
 
+    # Camera keys orbit/dolly (mouse-interaction analog, FluidX12.cpp:337-396).
+    eye0 = np.asarray(engine.camera.eye).copy()
+    loop._handle_key("a", img, None)
+    assert not np.allclose(np.asarray(engine.camera.eye), eye0)
+    r0 = float(np.linalg.norm(np.asarray(engine.camera.eye)))
+    loop._handle_key("+", img, None)
+    assert float(np.linalg.norm(np.asarray(engine.camera.eye))) < r0
+    out2 = loop.run(2)
+    assert np.isfinite(out2).all()
+
     # q requests an early stop.
     assert loop._handle_key("q", img, None) is True
 

@@ -229,3 +229,20 @@ def test_point_light_falls_back_to_faithful_paths():
         imgs[fast] = img.astype(np.int32)
     # Both configs ride the same faithful path -> identical frames.
     np.testing.assert_array_equal(imgs[True], imgs[False])
+
+
+def test_unaligned_and_noncubic_grids_end_to_end():
+    """Every Pallas kernel gates on lane/tile alignment and falls back to
+    its XLA twin; the engine must run cleanly on grids that miss those
+    gates (odd sizes, non-128 lanes, non-cubic z) -- the reference only
+    requires x == y (Fluid.cpp:201)."""
+    for grid in [(40, 40, 24), (48, 48, 20), (32, 32, 48)]:
+        cfg = FluidConfig(grid_size=grid, viewport=(32, 32),
+                          max_ray_samples=12, max_light_samples=4,
+                          num_pressure_iters=8)
+        engine = FluidXEngine(cfg)
+        loop = FrameLoop(engine, show_fps=False)
+        img = loop.run(6)
+        assert img.shape == (32, 32, 3), grid
+        assert np.isfinite(img).all(), grid
+        assert np.isfinite(np.asarray(engine.state.color)).all(), grid

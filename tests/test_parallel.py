@@ -94,3 +94,34 @@ def test_sharded_render_matches_single_device_image():
     ref = resolve_cube(cube, params, cfg)
     np.testing.assert_allclose(
         np.asarray(img_sharded), np.asarray(ref), atol=2e-5)
+
+
+def test_sharded_mg_matches_single_device():
+    """The Z-sharded multigrid V-cycle (parallel/domain._sharded_mg) must
+    reproduce the single-device solver (sim/mg.mg_solve): same smoother
+    counts, same transfer operators, halo exchanges replacing the clamped
+    shifts at shard boundaries."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from fluidx12_tpu.parallel.domain import _sharded_mg
+    from fluidx12_tpu.parallel.mesh import Z_AXIS
+    from fluidx12_tpu.sim.mg import mg_solve
+
+    mesh = make_grid_mesh()
+    rng = np.random.default_rng(11)
+    n = (16, 144, 144)  # plane > 128x128: the grids where mg engages
+    b = rng.uniform(-1, 1, n).astype(np.float32)
+    for ax in range(3):
+        b = (np.roll(b, 1, ax) + b + np.roll(b, -1, ax)) / 3.0
+    b = jnp.asarray(b - b.mean())
+    q0 = jnp.zeros(n, jnp.float32)
+
+    ref = np.asarray(mg_solve(q0, b))
+
+    f = functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Z_AXIS, None, None), P(Z_AXIS, None, None)),
+        out_specs=P(Z_AXIS, None, None),
+    )(lambda q, d: _sharded_mg(q, d))
+    out = np.asarray(jax.jit(f)(q0, b))
+    np.testing.assert_allclose(out, ref, atol=2e-4)

@@ -114,6 +114,78 @@ def _gradient_kernel(qc, qzp, qzm, out, *, bz: int, nz: int, ny: int, nx: int):
     out[2] = gz
 
 
+def _gi_light_kernel(qc, qzp, qzm, shadow, ao, coeffs, w3, env, out, *,
+                     bz: int, nz: int, ny: int, nx: int, zero_thr: float):
+    """Fused GI light map: out = env * shadow + dense ? irradiance(grad) * ao : 0.
+
+    One streaming pass over density (+ its z-neighbor blocks), the shadow
+    sweep and the upsampled AO replaces the XLA chain's ~6 materialized
+    volumes (gradient components, rotated/normalized directions, SH
+    irradiance, ambient): gradient -> radial fallback (RayMarch.hlsli:279)
+    -> world rotation -> normalize -> SH irradiance (x/y negated,
+    SHIrradianceTypeless.hlsli:16-37) -> dense mask -> light combine
+    (CSRayMarchL.hlsl:44-79), all in registers.  coeffs (9, 3), w3 (3, 3)
+    and env (3,) ride in SMEM as scalars.
+    """
+    f32 = jnp.float32
+    q = qc[...].astype(f32)
+
+    def scale(iota_dim, n, gids=None):
+        ids = (jax.lax.broadcasted_iota(jnp.int32, q.shape, iota_dim)
+               if gids is None else gids)
+        edge = (ids == 0) | (ids == n - 1)
+        return jnp.where(edge, 1.0, 0.5)
+
+    gx = (_shift_lane_clamped(q, +1) - _shift_lane_clamped(q, -1)) * scale(2, nx)
+    gy = (_shift_sublane_clamped(q, +1) - _shift_sublane_clamped(q, -1)) * scale(1, ny)
+    zm, zp = _z_neighbors(q, qzm[...].astype(f32), qzp[...].astype(f32), bz, nz)
+    gz_ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0) + pl.program_id(0) * bz
+    gz = (zp - zm) * scale(0, nz, gz_ids)
+
+    n1, n2, n3 = -gx, -gy, -gz  # -(d/dx, d/dy, d/dz)
+    degenerate = n1 * n1 + n2 * n2 + n3 * n3 < 1e-16
+    # radial fallback: voxel center in [-1, 1] per axis
+    ix = jax.lax.broadcasted_iota(jnp.int32, q.shape, 2).astype(f32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1).astype(f32)
+    px = (ix + 0.5) / nx * 2.0 - 1.0
+    py = (iy + 0.5) / ny * 2.0 - 1.0
+    pz = (gz_ids.astype(f32) + 0.5) / nz * 2.0 - 1.0
+    n1 = jnp.where(degenerate, px, n1)
+    n2 = jnp.where(degenerate, py, n2)
+    n3 = jnp.where(degenerate, pz, n3)
+
+    # world rotation (row-vector convention) + normalize
+    wx = n1 * w3[0, 0] + n2 * w3[1, 0] + n3 * w3[2, 0]
+    wy = n1 * w3[0, 1] + n2 * w3[1, 1] + n3 * w3[2, 1]
+    wz = n1 * w3[0, 2] + n2 * w3[1, 2] + n3 * w3[2, 2]
+    inv = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-24))
+    # reference negates x and y before SH evaluation
+    x = -wx * inv
+    y = -wy * inv
+    z = wz * inv
+
+    _C1 = 0.42904276540489171563379376569857
+    _C2 = 0.51166335397324424423977581244463
+    _C3 = 0.24770795610037568833406429782001
+    _C4 = 0.88622692545275801364908374167057
+    b8 = _C1 * (x * x - y * y)
+    b6 = _C3 * (3.0 * z * z - 1.0)
+    bxy = 2.0 * _C1 * (x * y)
+    bxz = 2.0 * _C1 * (x * z)
+    byz = 2.0 * _C1 * (y * z)
+
+    dense = q >= zero_thr
+    ao_v = ao[...].astype(f32)
+    sh_v = shadow[...].astype(f32)
+    for ch in range(3):
+        irr = (b8 * coeffs[8, ch] + b6 * coeffs[6, ch] + _C4 * coeffs[0, ch]
+               + bxy * coeffs[4, ch] + bxz * coeffs[7, ch] + byz * coeffs[5, ch]
+               + 2.0 * _C2 * (x * coeffs[3, ch] + y * coeffs[1, ch]
+                              + z * coeffs[2, ch]))
+        ambient = jnp.where(dense, jnp.maximum(irr, 0.0) * ao_v, 0.0)
+        out[ch] = env[ch] * sh_v + ambient
+
+
 def _residual_kernel(qc, qzp, qzm, bc, out, *, bz: int, nz: int):
     """out = b - (sum(neighbors) - 6 q): the Poisson residual for the
     multigrid fast solver (sim/project.py).  Same fixed point as the Jacobi
@@ -188,6 +260,33 @@ def gradient3_pallas(q: jax.Array) -> jax.Array:
         in_specs=[pc, pzp, pzm],
         out_specs=pl.BlockSpec((3, bz, ny, nx), lambda i: (0, i, 0, 0)),
     )(q, q, q)
+
+
+def gi_light_pallas(density: jax.Array, shadow: jax.Array, ao: jax.Array,
+                    sh_coeffs: jax.Array, world3: jax.Array, env: jax.Array,
+                    zero_threshold: float) -> jax.Array:
+    """Fused GI light map (see _gi_light_kernel): (Z, Y, X) density/shadow/ao
+    + (9, 3) SH coeffs + (3, 3) world rotation + (3,) env light ->
+    (3, Z, Y, X) f32 light map."""
+    nz, ny, nx = density.shape
+    bz = _pick_bz(nz, ny * nx * 4, 1 + 1 + 1 + 1 + 1 + 3)
+    pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
+    plane = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0))
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_gi_light_kernel, bz=bz, nz=nz, ny=ny, nx=nx,
+                          zero_thr=zero_threshold),
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=jax.ShapeDtypeStruct((3, nz, ny, nx), jnp.float32),
+        grid=(nz // bz,),
+        in_specs=[pc, pzp, pzm, plane, plane,
+                  smem((9, 3), lambda i: (0, 0)),
+                  smem((3, 3), lambda i: (0, 0)),
+                  smem((3,), lambda i: (0,))],
+        out_specs=pl.BlockSpec((3, bz, ny, nx), lambda i: (0, i, 0, 0)),
+    )(density, density, density, shadow, ao,
+      sh_coeffs.astype(jnp.float32), world3.astype(jnp.float32),
+      env.astype(jnp.float32))
 
 
 def residual_pallas(pressure: jax.Array, b: jax.Array) -> jax.Array:

@@ -228,6 +228,26 @@ def render_light_map_fast(
     shadow = jnp.where(dense, shadow, 1.0)
 
     if config.has_light_probe and sh_coeffs is not None:
+        # Fully-fused GI kernel when available: gradient -> radial fallback
+        # -> rotate -> normalize -> SH irradiance -> mask -> light combine
+        # in ONE streaming pass (ops/pallas/stencil.gi_light_pallas); the
+        # XLA chain below is its cross-checked twin (tests/test_pallas.py).
+        from fluidx12_tpu.ops.pallas.stencil import (
+            gi_light_pallas,
+            stencil_pallas_supported,
+        )
+
+        half_ok = all(n % 2 == 0 and n >= 32 for n in density.shape)
+        if (config.use_pallas and jax.default_backend() == "tpu"
+                and stencil_pallas_supported(density.shape) and half_ok):
+            # Half-res AO engages under half_ok, so the full-res gradient is
+            # only needed inside the kernel.
+            ao = _ambient_occlusion(density, None, None, None, ref_step, config)
+            return gi_light_pallas(
+                density, shadow, ao, sh_coeffs, params.world[:3, :3],
+                params.light_color[:3] * params.light_color[3],
+                config.zero_threshold).astype(dtype)
+
         # Gradient-direction irradiance + 6-sweep AO approximation, all
         # channel-LEADING: a volume-sized (..., 3) array pads its trailing
         # dim to a full (8, 128) tile on TPU, which made this branch ~2x the

@@ -168,3 +168,50 @@ def test_jacobi2d_kernel_matches_xla():
     ref = np.asarray(jacobi_sweeps(q[None], b[None], 16, False))[0]
     got = np.asarray(jacobi2d_pallas(q, b, 16))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_gi_light_kernel_matches_xla_chain():
+    """Fused GI light-map kernel (interpret mode) vs the channel-leading XLA
+    chain it replaces (render/lightmap_sweep.py GI branch)."""
+    from fluidx12_tpu.core import math3d as m3
+    from fluidx12_tpu.core.camera import OrbitCamera
+    from fluidx12_tpu.core.config import FluidConfig
+    from fluidx12_tpu.core.state import default_scene_params
+    from fluidx12_tpu.ops.pallas.stencil import gi_light_pallas
+    from fluidx12_tpu.ops.transform import transform_vector
+    from fluidx12_tpu.render.lightmap_sweep import (
+        _ambient_occlusion, directional_transmittance, render_light_map_fast)
+    from fluidx12_tpu.render.raymarch_core import MAX_DIST
+
+    cfg = FluidConfig(grid_size=(128, 128, 32), has_light_probe=True)
+    rng = np.random.default_rng(0)
+    nz, ny, nx = cfg.zyx
+    dens = rng.uniform(0, 0.6, (nz, ny, nx)).astype(np.float32)
+    for ax in range(3):
+        dens = (np.roll(dens, 1, ax) + dens + np.roll(dens, -1, ax)) / 3
+    grid = np.zeros((4, nz, ny, nx), np.float32)
+    grid[3] = dens
+    grid[:3] = dens * 0.5
+    cam = OrbitCamera(width=64, height=64)
+    world = m3.scaling(cfg.volume_scale)
+    p = default_scene_params(cfg)._replace(
+        eye_pt=jnp.asarray(cam.eye), world=jnp.asarray(world),
+        world_i=jnp.asarray(m3.inverse(world)))
+    sh = jnp.asarray(rng.uniform(0, 0.3, (9, 3)).astype(np.float32))
+
+    lm_chain = np.asarray(render_light_map_fast(jnp.asarray(grid), p, cfg, sh))
+
+    dt = jnp.asarray(grid[3])
+    lp = np.asarray(cfg.light_pos, np.float32)
+    major = int(np.argmax(np.abs(lp)))
+    local_light = transform_vector(p.light_pt, p.world_i)
+    ld = (local_light / jnp.linalg.norm(local_light)).astype(jnp.float32)
+    ref_step = MAX_DIST / p.num_light_samples.astype(jnp.float32)
+    shadow = directional_transmittance(dt, ld, major, ref_step,
+                                       cfg.absorption, flip=bool(lp[major] > 0))
+    shadow = jnp.where(dt >= cfg.zero_threshold, shadow, 1.0)
+    ao = _ambient_occlusion(dt, None, None, None, ref_step, cfg)
+    lm_k = np.asarray(gi_light_pallas(
+        dt, shadow, ao, sh, p.world[:3, :3],
+        p.light_color[:3] * p.light_color[3], cfg.zero_threshold))
+    np.testing.assert_allclose(lm_k, lm_chain, atol=5e-6)

@@ -63,6 +63,7 @@ def directional_transmittance(
     ref_step: jax.Array,      # reference nominal step (for normalization)
     absorption: float,
     flip: Optional[bool] = None,  # static sign of light_dir[major_axis], if known
+    max_slices: int = 128,        # sweep slice budget (callers may lower it)
 ) -> jax.Array:
     """Per-voxel transmittance toward the light; returns (Z, Y, X).
 
@@ -95,7 +96,7 @@ def directional_transmittance(
     # major axis (cf. slicecomp._axis_volume: no full-volume transpose),
     # with the light-to-far ordering folded into the pooling matrix when the
     # major-axis sign is known at trace time (`flip`).
-    stride = max(-(-n_m // 128), 1)
+    stride = max(-(-n_m // max_slices), 1)
     n_s = n_m // stride
     pool = jnp.zeros((n_m, n_s), dtype).at[
         jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
@@ -336,8 +337,12 @@ def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config):
     sweeps = []
     for ax, sgn in _AXIS_SWEEPS:
         d6 = jnp.zeros(3, dtype).at[ax].set(float(sgn))
+        # Occlusion is an integral, low-frequency quantity: a 64-slice
+        # budget (on the already half-res field) halves the six sweeps'
+        # cost for no visible change.
         sweeps.append(directional_transmittance(
-            dens_s, d6, ax, ref_step, config.absorption, flip=sgn > 0))
+            dens_s, d6, ax, ref_step, config.absorption, flip=sgn > 0,
+            max_slices=64))
     comp = [jnp.maximum(cx, 0.0), jnp.maximum(-cx, 0.0),
             jnp.maximum(cy, 0.0), jnp.maximum(-cy, 0.0),
             jnp.maximum(cz, 0.0), jnp.maximum(-cz, 0.0)]

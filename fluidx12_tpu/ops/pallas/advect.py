@@ -191,7 +191,7 @@ _ZHBLK = 16             # halo block planes (smallest multiple of 8 >= _ZHALO)
 
 
 def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
-                  slab: int, nz: int):
+                  slab: int, nz: int, epilogue=None):
     """Resample the leading (z) axis of one channel's slab.
 
     The x/y passes resample the lane/sublane axes with vector rolls; z is a
@@ -232,13 +232,18 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
         val = jnp.where(ids + a >= nz, hi_edge, val)
         return val
 
+    def finish(out):
+        if epilogue is not None:
+            out = epilogue(out, ids)
+        out_ref[0] = out.astype(out_ref.dtype)
+
     def calm_path(masked):
         out = jnp.zeros_like(d)
         for a in range(-_CALM_DISP, _CALM_DISP + 2):
             w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)
             val = win_ref[pl.ds(_ZHALO + a, slab)]
             out = out + clamp(val, a, masked) * w
-        out_ref[0] = out.astype(out_ref.dtype)
+        finish(out)
 
     def heavy_path(masked):
         def tap(ai, out):
@@ -247,8 +252,8 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
             val = win_ref[pl.ds(_ZHALO + a, slab)]
             return out + clamp(val, a, masked) * w
 
-        out_ref[0] = jax.lax.fori_loop(
-            0, 2 * MAX_DISP + 2, tap, jnp.zeros_like(d)).astype(out_ref.dtype)
+        finish(jax.lax.fori_loop(
+            0, 2 * MAX_DISP + 2, tap, jnp.zeros_like(d)))
 
     @pl.when(calm & interior)
     def _():
@@ -267,15 +272,52 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
         heavy_path(masked=True)
 
 
-def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
-               slab_max: int = 64):
-    """vol (C, Z, Y, X), disp (Z, Y, X) pre-clipped: resample z.
-
-    Grid is (z-slab, y-tile, channel) with channel innermost so the shared
-    displacement block keeps the same index across the channel steps and is
-    fetched once per (z, y).  Returns None if the shape doesn't tile.
+def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, d_ref, dt_ref, fc_ref,
+                         out_ref, win_ref, *, slab: int, nz: int, ny: int,
+                         nx: int, ytile: int, cfg_consts: tuple):
+    """z-resample + fused impulse/forces epilogue (the last advect pass
+    writes the FORCED state directly, saving a full 7-channel HBM round
+    trip over a separate force pass; semantics identical to
+    sim/advect.apply_impulse_forces, same single rounding at the storage
+    write).  Per-channel coefficients ride in an SMEM table fc (7, 5) =
+    [A_basis, B_negdz, B_dx, clip_lo, clip_hi]; dt is a (1,) SMEM scalar.
+    Channel math: out' = clip(out + in_impulse * (A*basis + B_negdz*(-dz)
+    + B_dx*dx) * dt, lo, hi) * max(1 - dissipation*dt, 0).
     """
-    c, nz, ny, nx = vol.shape
+    ip_x, ip_y, ip_z, radius, dissipation = cfg_consts
+    yi = pl.program_id(1)
+    ci = pl.program_id(2)
+    f32 = jnp.float32
+
+    def epilogue(out, gz_ids):
+        # Simulation-space voxel centers (GridToSimulationSpace).
+        cz = (gz_ids.astype(f32) + 0.5) / nz
+        cy = ((jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+               + yi * ytile).astype(f32) + 0.5) / ny
+        cx = (jax.lax.broadcasted_iota(jnp.int32, out.shape, 2)
+              .astype(f32) + 0.5) / nx
+        dx_ = cx - ip_x
+        dy_ = cy - ip_y
+        dz_ = cz - ip_z
+        d2 = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+        basis = jnp.exp(-4.0 * d2 / (radius * radius))
+        in_imp = (basis >= 0.01831563889245799).astype(f32)  # exp(-4)
+        dt = dt_ref[0]
+        ext = (fc_ref[ci, 0] * basis + fc_ref[ci, 1] * (-dz_)
+               + fc_ref[ci, 2] * dx_)
+        out = jnp.clip(out + in_imp * ext * dt, fc_ref[ci, 3], fc_ref[ci, 4])
+        return out * jnp.maximum(1.0 - dissipation * dt, 0.0)
+
+    _zpass_body(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref,
+                slab=slab, nz=nz, epilogue=epilogue)
+
+
+# The plain kernel shares the body; keep one traced implementation.
+_zpass_body = _zpass_kernel
+
+
+def _zpass_plan(nz: int, ny: int, nx: int, slab_max: int = 64):
+    """(slab, ytile) for the z-pass window kernel, or None."""
     if nx % 128:
         # Lane dim below/unaligned to the 128-lane tile: the in-kernel
         # window slices fail Mosaic's alignment rule (seen at 24^3 on
@@ -292,6 +334,42 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
         ytile //= 2
     if nz % slab or ny % ytile or slab < _ZHBLK or slab % _ZHBLK:
         return None
+    return slab, ytile
+
+
+def _forces_table(config):
+    """(7, 5) per-channel [A_basis, B_negdz, B_dx, clip_lo, clip_hi]
+    (Impulse.hlsli / CSAdvect.hlsl:57-68 constants)."""
+    import numpy as np
+
+    big = 3.0e38
+    fc = np.zeros((7, 5), np.float32)
+    fs = config.force_scale_3d
+    f = np.asarray(config.ext_force, np.float32)
+    fc[0] = [f[0] * fs, config.vort_scale, 0.0, -big, big]
+    fc[1] = [f[1] * fs, 0.0, 0.0, -big, big]
+    fc[2] = [f[2] * fs, 0.0, config.vort_scale, -big, big]
+    rgba = np.asarray((*config.impulse_color, 1.0), np.float32) * config.impulse_density
+    for j in range(4):
+        fc[3 + j] = [rgba[j], 0.0, 0.0, 0.0, 1.0]
+    return fc
+
+
+def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
+               slab_max: int = 64, forces_cfg=None, forces_dt=None):
+    """vol (C, Z, Y, X), disp (Z, Y, X) pre-clipped: resample z.
+
+    Grid is (z-slab, y-tile, channel) with channel innermost so the shared
+    displacement block keeps the same index across the channel steps and is
+    fetched once per (z, y).  Returns None if the shape doesn't tile.
+    With forces_cfg/forces_dt, the impulse+force+dissipation pass fuses
+    into the output write (see _zpass_forces_kernel).
+    """
+    c, nz, ny, nx = vol.shape
+    plan = _zpass_plan(nz, ny, nx, slab_max)
+    if plan is None:
+        return None
+    slab, ytile = plan
     n_slabs = nz // slab
     hb = slab // _ZHBLK      # halo blocks per slab
     n_hblks = nz // _ZHBLK
@@ -299,36 +377,63 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
     grid = (n_slabs, ny // ytile, c)
     blk = (1, slab, ytile, nx)
     hblk = (1, _ZHBLK, ytile, nx)
+    in_specs = [
+        # prev halo: last _ZHBLK planes of slab zi-1 (clamped at 0)
+        pl.BlockSpec(hblk,
+                     lambda zi, yi, ci, hb=hb: (ci, jnp.maximum(zi * hb - 1, 0), yi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, lambda zi, yi, ci: (ci, zi, yi, 0),
+                     memory_space=pltpu.VMEM),
+        # next halo: first _ZHBLK planes of slab zi+1 (clamped at end)
+        pl.BlockSpec(hblk,
+                     lambda zi, yi, ci, hb=hb, n=n_hblks: (ci, jnp.minimum((zi + 1) * hb, n - 1), yi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((slab, ytile, nx), lambda zi, yi, ci: (zi, yi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if forces_cfg is not None:
+        cfg = forces_cfg
+        kernel = functools.partial(
+            _zpass_forces_kernel, slab=slab, nz=nz, ny=ny, nx=nx, ytile=ytile,
+            cfg_consts=(float(cfg.impulse_pos[0]), float(cfg.impulse_pos[1]),
+                        float(cfg.impulse_pos[2]), float(cfg.impulse_radius),
+                        float(cfg.dissipation)))
+        smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+        in_specs = in_specs + [smem((1,), lambda zi, yi, ci: (0,)),
+                               smem((7, 5), lambda zi, yi, ci: (0, 0))]
+        extra = (jnp.asarray(forces_dt, jnp.float32).reshape(1),
+                 jnp.asarray(_forces_table(cfg)))
+    else:
+        kernel = functools.partial(_zpass_kernel, slab=slab, nz=nz)
+        extra = ()
     return pl.pallas_call(
-        functools.partial(_zpass_kernel, slab=slab, nz=nz),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
         grid=grid,
-        in_specs=[
-            # prev halo: last _ZHBLK planes of slab zi-1 (clamped at 0)
-            pl.BlockSpec(hblk,
-                         lambda zi, yi, ci, hb=hb: (ci, jnp.maximum(zi * hb - 1, 0), yi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, lambda zi, yi, ci: (ci, zi, yi, 0),
-                         memory_space=pltpu.VMEM),
-            # next halo: first _ZHBLK planes of slab zi+1 (clamped at end)
-            pl.BlockSpec(hblk,
-                         lambda zi, yi, ci, hb=hb, n=n_hblks: (ci, jnp.minimum((zi + 1) * hb, n - 1), yi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((slab, ytile, nx), lambda zi, yi, ci: (zi, yi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(blk, lambda zi, yi, ci: (ci, zi, yi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((slab + 2 * _ZHALO, ytile, nx), jnp.float32)],
         interpret=interpret,
-    )(vol, vol, vol, disp)
+    )(vol, vol, vol, disp, *extra)
 
 
-def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
+def zpass_forces_supported(config) -> bool:
+    """True when the z-pass kernel tiles this grid AND may fuse the forces
+    epilogue (premultiplied color only: un-premultiplied storage divides
+    rgb by alpha, a cross-channel op the per-channel grid cannot express)."""
+    z, y, x = config.zyx
+    return (config.is_3d and config.pre_multiplied
+            and _zpass_plan(z, y, x) is not None)
+
+
+def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
     """Full 3-pass split backtrace of the (7, Z, Y, X) combined field.
 
     Any pass without a valid tiling falls back to its XLA twin for that pass.
+    forces_dt (only valid when zpass_forces_supported) fuses the
+    impulse/forces/dissipation pass into the z-pass output write.
     """
     from fluidx12_tpu.sim.advect_fast import _advect_1d
 
@@ -357,7 +462,9 @@ def backtrace_pallas(both: jax.Array, dt, config) -> jax.Array:
         return out
 
     # Pass z: leading-dim window kernel (no transposes).
-    out_z = _run_zpass(out, clip_disp(out[2], dt * z), interpret=interpret)
+    out_z = _run_zpass(out, clip_disp(out[2], dt * z), interpret=interpret,
+                       forces_cfg=config if forces_dt is not None else None,
+                       forces_dt=forces_dt)
     if out_z is not None:
         return out_z
 

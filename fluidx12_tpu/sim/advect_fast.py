@@ -111,13 +111,27 @@ def advect_fast(
         both = both.astype(jnp.float32)
     # The Pallas kernels stream blocks in the storage dtype (f16 state =
     # half the pass DMA) and do all tap arithmetic in f32 in VMEM.
-    for _ in range(n_sub):
-        if use_kernel:
-            from fluidx12_tpu.ops.pallas.advect import backtrace_pallas
+    inkernel_forces = False
+    if use_kernel:
+        from fluidx12_tpu.ops.pallas.advect import (
+            backtrace_pallas,
+            zpass_forces_supported,
+        )
 
-            both = backtrace_pallas(both, dt_full / n_sub, config)
+        # The impulse/forces/dissipation pass fuses into the final z-pass
+        # output write when the kernel tiles this grid -- one fewer full
+        # 7-channel HBM round trip per step.
+        inkernel_forces = zpass_forces_supported(config)
+    for i in range(n_sub):
+        if use_kernel:
+            last = i == n_sub - 1
+            both = backtrace_pallas(
+                both, dt_full / n_sub, config,
+                forces_dt=dt_full if (last and inkernel_forces) else None)
         else:
             both = _backtrace_split(both, dt_full / n_sub, config)
+    if inkernel_forces:
+        return both[:3], both[3:]
     # Forces stream in the storage dtype (f32 register math inside); the
     # result keeps the storage dtype, so the state write needs no extra cast.
     return apply_impulse_forces(both[:3], both[3:], dt_full, config)

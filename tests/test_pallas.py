@@ -215,3 +215,32 @@ def test_gi_light_kernel_matches_xla_chain():
         dt, shadow, ao, sh, p.world[:3, :3],
         p.light_color[:3] * p.light_color[3], cfg.zero_threshold))
     np.testing.assert_allclose(lm_k, lm_chain, atol=5e-6)
+
+
+def test_zpass_fused_forces_matches_xla():
+    """z-pass kernel with the fused impulse/forces epilogue (interpret) vs
+    the XLA twin followed by apply_impulse_forces."""
+    from fluidx12_tpu.core.config import FluidConfig
+    from fluidx12_tpu.ops.pallas.advect import (
+        backtrace_pallas, zpass_forces_supported)
+    from fluidx12_tpu.sim.advect import apply_impulse_forces
+    from fluidx12_tpu.sim.advect_fast import _backtrace_split
+
+    cfg = FluidConfig(grid_size=(128, 128, 16))
+    assert zpass_forces_supported(cfg)
+    rng = np.random.default_rng(2)
+    both = jnp.asarray(rng.uniform(0, 1, (7,) + cfg.zyx).astype(np.float32))
+    both = both.at[:3].multiply(0.5)
+    dt = cfg.time_step
+
+    ref_bt = _backtrace_split(both, dt, cfg)
+    v_ref, c_ref = apply_impulse_forces(ref_bt[:3], ref_bt[3:], dt, cfg)
+
+    got = backtrace_pallas(both, dt, cfg, forces_dt=dt)
+    # Interior only: the z kernel clamps at walls where the XLA twin mirrors
+    # (documented deviation); forces math itself is position-exact.
+    sl = (slice(None), slice(1, -1), slice(14, -14), slice(14, -14))
+    np.testing.assert_allclose(np.asarray(got[:3])[sl],
+                               np.asarray(v_ref)[sl], atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got[3:])[sl],
+                               np.asarray(c_ref)[sl], atol=3e-5)

@@ -82,6 +82,7 @@ def main():
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 3),
+        "method": "best of 3x60-step trials (relay-jitter isolation)",
     }
 
     if "--all" in sys.argv:

@@ -37,8 +37,8 @@ from fluidx12_tpu.ops.pallas.shifts import (
 def _window_sweeps(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int, ytile: int,
                    halo: int, inner: int, nz: int, ny: int):
     """DMA in one halo'd (z-slab x y-strip) window from q_hbm, run `inner`
-    clamped sweeps in VMEM, DMA the center back to out_hbm.  Shared by the
-    per-round call (_jacobi_kernel) and the fused multi-round kernel."""
+    clamped sweeps in VMEM, DMA the center back to out_hbm; one window of
+    one round of the fused multi-round kernel (_jacobi_fused_kernel)."""
     z0 = zi * slab
     y0 = yi * ytile
     size_z = slab + 2 * halo
@@ -103,13 +103,6 @@ def _window_sweeps(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int, ytile: int,
         sem_b=pltpu.SemaphoreType.DMA,
         sem_o=pltpu.SemaphoreType.DMA,
     )
-
-
-def _jacobi_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int, halo: int,
-                   inner: int, nz: int, ny: int):
-    """Grid = (z-slab, y-strip): one relaxation round per call."""
-    _window_sweeps(q_hbm, b_hbm, out_hbm, pl.program_id(0), pl.program_id(1),
-                   slab=slab, ytile=ytile, halo=halo, inner=inner, nz=nz, ny=ny)
 
 
 def _jacobi_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
@@ -238,14 +231,6 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
         sem_b=pltpu.SemaphoreType.DMA,
         sem_o=pltpu.SemaphoreType.DMA,
     )
-
-
-def _planewise_kernel(q_hbm, b_hbm, out_hbm, *, slab: int, ytile: int,
-                      halo: int, inner: int, nz: int, ny: int):
-    """Grid = (z-slab, y-strip): one relaxation round per call."""
-    _planewise_window(q_hbm, b_hbm, out_hbm, pl.program_id(0), pl.program_id(1),
-                      slab=slab, ytile=ytile, halo=halo, inner=inner,
-                      nz=nz, ny=ny)
 
 
 def _planewise_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,

@@ -168,7 +168,7 @@ def _sharded_residual(q, div):
     return div - (s - 6.0 * q)
 
 
-def _sharded_mg(q, div, pre: int = 4, post: int = 4, coarse_iters: int = 32):
+def _sharded_mg(q, div, pre=None, post=None, coarse_iters=None):
     """Z-sharded 2-level V-cycle (the multi-chip twin of sim/mg.mg_solve).
 
     Grid transfers are shard-LOCAL except one coarse-plane halo exchange in
@@ -180,8 +180,17 @@ def _sharded_mg(q, div, pre: int = 4, post: int = 4, coarse_iters: int = 32):
     coarse sweeps run on 1/8 the voxels -- the solver is both cheaper *and*
     reaches a lower residual than the 64-sweep schedule (see sim/mg.py).
     """
-    from fluidx12_tpu.sim.mg import _prolong_matrix, _restrict_matrix
+    from fluidx12_tpu.sim.mg import (
+        MG_COARSE_ITERS,
+        MG_POST,
+        MG_PRE,
+        _prolong_matrix,
+        _restrict_matrix,
+    )
 
+    pre = MG_PRE if pre is None else pre
+    post = MG_POST if post is None else post
+    coarse_iters = MG_COARSE_ITERS if coarse_iters is None else coarse_iters
     zl, ny, nx = q.shape
 
     def restrict(r):
@@ -229,11 +238,15 @@ def _sharded_project(velocity, pressure, time_step, config: FluidConfig):
             div = div + 0.5 * (_halo_shift_z(uz_ext, +1) - _halo_shift_z(uz_ext, -1))
         div = div.astype(jnp.float32)
 
+        from fluidx12_tpu.sim.mg import mg_supported
+
         zl, ny, nx = q.shape
+        # Same gate as the single-device path (GLOBAL dims via config.zyx,
+        # so multi-chip and single-device runs always pick the same
+        # solver), plus an even LOCAL z for the shard-local restriction.
         use_mg = (config.fast_sim and config.mg_pressure and is_3d
-                  and ny * nx > 128 * 128
-                  and zl % 2 == 0 and ny % 2 == 0 and nx % 2 == 0
-                  and min(ny, nx) >= 16)
+                  and ny * nx > 128 * 128 and mg_supported(config.zyx)
+                  and zl % 2 == 0)
         if use_mg:
             q = _sharded_mg(q, div)
         else:

@@ -238,7 +238,7 @@ def render_light_map_fast(
             stencil_pallas_supported,
         )
 
-        half_ok = all(n % 2 == 0 and n >= 32 for n in density.shape)
+        half_ok = _ao_half_res(density.shape)
         if (config.use_pallas and jax.default_backend() == "tpu"
                 and stencil_pallas_supported(density.shape) and half_ok):
             # Half-res AO engages under half_ok, so the full-res gradient is
@@ -302,6 +302,14 @@ def _gradient(density, use_pallas: bool = True):
     return jnp.gradient(density)
 
 
+def _ao_half_res(shape) -> bool:
+    """True when the AO sweeps may run on a 2x box-downsampled field (the
+    single predicate shared by the fused-GI gate and _ambient_occlusion --
+    the fused path passes gradient sentinels that are only unused when this
+    holds)."""
+    return all(n % 2 == 0 and n >= 32 for n in shape)
+
+
 def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config):
     """6-sweep AO blended by the (unnormalized) gradient direction.
 
@@ -312,7 +320,7 @@ def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config):
     to full resolution on odd/small grids.
     """
     dtype = density.dtype
-    half = all(n % 2 == 0 and n >= 32 for n in density.shape)
+    half = _ao_half_res(density.shape)
     if half:
         from fluidx12_tpu.sim.mg import _prolong, _restrict
 

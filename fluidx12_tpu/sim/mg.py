@@ -114,14 +114,22 @@ def _residual(q: jax.Array, b: jax.Array, use_pallas: bool = True) -> jax.Array:
     return b - (s - 6.0 * q)
 
 
+# The V-cycle schedule; the Z-sharded twin (parallel/domain._sharded_mg)
+# imports these so both solvers always run the same cycle.
+MG_PRE = 4
+MG_POST = 4
+MG_COARSE_ITERS = 32
+
+
 def mg_supported(zyx) -> bool:
     """2-level V-cycle needs even dims and a coarse level >= 8 per axis."""
     nz, ny, nx = zyx
     return all(n % 2 == 0 and n >= 16 for n in (nz, ny, nx))
 
 
-def mg_solve(q: jax.Array, b: jax.Array, pre: int = 4, post: int = 4,
-             coarse_iters: int = 32, use_pallas: bool = True) -> jax.Array:
+def mg_solve(q: jax.Array, b: jax.Array, pre: int = MG_PRE,
+             post: int = MG_POST, coarse_iters: int = MG_COARSE_ITERS,
+             use_pallas: bool = True) -> jax.Array:
     """One V(pre, post) cycle with `coarse_iters` half-grid sweeps.
 
     The A-operator is the reference's unit-coefficient 6-point form

@@ -106,6 +106,27 @@ def _pass_kernel(vol_ref, d_ref, out_ref, *, axis: int):
         out_ref[...] = _resample_axis(q, d, axis=axis).astype(out_ref.dtype)
 
 
+def _pass_kernel_fused_d(vol_ref, scale_ref, out_ref, *, axis: int,
+                         disp_ch: int):
+    """_pass_kernel computing the displacement IN-BLOCK: with all channels
+    in one block, d = clip(-u[disp_ch] * scale) needs no separate XLA pass
+    or HBM-resident displacement array (saves one volume-sized read+write
+    per pass).  scale = dt * grid_extent rides in SMEM (dt is traced)."""
+    q = vol_ref[...]
+    d = jnp.clip(-q[disp_ch].astype(jnp.float32) * scale_ref[0],
+                 -float(MAX_DISP), float(MAX_DISP))
+    calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
+
+    @pl.when(calm)
+    def _():
+        out_ref[...] = _resample_axis(
+            q, d, axis=axis, max_disp=_CALM_DISP).astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(calm))
+    def _():
+        out_ref[...] = _resample_axis(q, d, axis=axis).astype(out_ref.dtype)
+
+
 # Per-tap temporaries stay live on Mosaic's 16 MB scoped-VMEM stack, so the
 # block must satisfy ~26 * block_bytes well under it.  256 KB per-channel
 # blocks keep the tap set ~7 MB; all-channel blocks may go up to 460 KB
@@ -136,6 +157,36 @@ def _pick_tiles(z: int, lat: int, res: int, gran: int,
     if z % slab:
         return None
     return slab, lat_tile
+
+
+def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
+                    disp_ch: int, scale) -> jax.Array:
+    """All-channel resample pass with the displacement computed in-block
+    (see _pass_kernel_fused_d).  Returns None when the all-channel tiling
+    doesn't fit (the caller falls back to the precomputed-disp form)."""
+    c, z, a, b = vol.shape
+    lat, res, gran = (a, b, 8) if axis == 3 else (b, a, 128)
+    tiles = _pick_tiles(z, lat, res * c, gran, _CBLOCK_BUDGET_ELEMS)
+    if tiles is None:
+        return None
+    slab, lat_t = tiles
+    if axis == 3:
+        block = (c, slab, lat_t, b)
+        vol_map = lambda zi, li: (0, zi, li, 0)
+    else:
+        block = (c, slab, a, lat_t)
+        vol_map = lambda zi, li: (0, zi, 0, li)
+    return pl.pallas_call(
+        functools.partial(_pass_kernel_fused_d, axis=axis, disp_ch=disp_ch),
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        grid=(z // slab, lat // lat_t),
+        in_specs=[
+            pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda zi, li: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(vol, jnp.asarray(scale, jnp.float32).reshape(1))
 
 
 def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, interpret: bool):
@@ -449,12 +500,21 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
         # XLA-twin fallback computes in f32 and restores the storage dtype.
         return _advect_1d(vol.astype(jnp.float32), d, axis).astype(vol.dtype)
 
-    # Pass x (lanes).
-    out = _run_pass(both, clip_disp(both[0], dt * x), axis=3, interpret=interpret)
+    # Pass x (lanes); displacement computed in-block when the all-channel
+    # tiling fits (saves one volume-sized disp read+write per pass).
+    out = _run_pass_fused(both, axis=3, interpret=interpret,
+                          disp_ch=0, scale=dt * x)
+    if out is None:
+        out = _run_pass(both, clip_disp(both[0], dt * x), axis=3,
+                        interpret=interpret)
     if out is None:
         out = xla_1d(both, clip_disp(both[0], dt * x), axis=3)
     # Pass y (sublanes) with the x-advected u_y.
-    out2 = _run_pass(out, clip_disp(out[1], dt * y), axis=2, interpret=interpret)
+    out2 = _run_pass_fused(out, axis=2, interpret=interpret,
+                           disp_ch=1, scale=dt * y)
+    if out2 is None:
+        out2 = _run_pass(out, clip_disp(out[1], dt * y), axis=2,
+                         interpret=interpret)
     if out2 is None:
         out2 = xla_1d(out, clip_disp(out[1], dt * y), axis=2)
     out = out2

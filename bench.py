@@ -127,7 +127,7 @@ def run_config_suite():
         ("Fluid3D 128^3 separate cube (OPTIMIZED)", FluidConfig(),
          RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
         ("Fluid3D 128^3 direct ray cast (screen-space)", FluidConfig(),
-         RenderMethod.RAY_MARCH_DIRECT_SEPARATE, None, 2, 3),
+         RenderMethod.RAY_MARCH_DIRECT_SEPARATE, None, 20, 15),
         ("Fluid3D 128^3 @1080p", FluidConfig(viewport=(1920, 1080)),
          RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
         ("Fluid3D 256^3 separate cube", FluidConfig(grid_size=(256, 256, 256)),
@@ -214,13 +214,15 @@ def run_pass_breakdown(n=256):
     state_b = 7 * vox * half + vox * 4
     if n * n > 128 * 128:
         # Multigrid pressure path (sim/mg.py): 2 fine smooth calls with
-        # 1.875x window redundancy + residual + transfers + coarse cycle.
-        poisson_b = vox * 4 * (2 * (2 * 1.875 + 1) + 3 + 1.5 + 4.75)
+        # 1.875x window redundancy + residual (1-plane z edges) +
+        # transfers + coarse cycle.
+        poisson_b = vox * 4 * (2 * (2 * 1.875 + 1) + 2.5 + 1.5 + 4.75)
     else:
         poisson_b = vox * 4 * 2 * (64 // 8) * 2.3  # 64-sweep Jacobi trips
-    sim_b = (7 * vox * half * 2 * 3        # 3 resample passes r+w (bf16)
+    sim_b = (7 * vox * half * (2 + 2 + 2.5)  # x, y, z(1.5x halo read) r+w
              + poisson_b
-             + 5 * vox * 4)                # div/grad/damp passes
+             + 3 * vox * half + vox * 4      # divergence (reads vel, f32 out)
+             + 6 * vox * half + 1.25 * vox * 4)  # grad+damp in place
     light_b = vox * half + 3 * vox * half * 2
     slices = min(cfg.max_ray_samples, n)
     march_b = 4 * vox * half + 3 * (4 * slices * n * n * half * 3)

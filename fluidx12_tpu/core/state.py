@@ -30,11 +30,42 @@ from fluidx12_tpu.core.config import FluidConfig
 
 
 class FluidState(NamedTuple):
-    """Persistent simulation state (everything that survives a frame)."""
+    """Persistent simulation state (everything that survives a frame).
 
-    velocity: jax.Array  # (3, Z, Y, X) sim-space velocity (x, y, z components)
-    color: jax.Array     # (4, Z, Y, X) premultiplied RGBA smoke color
+    Velocity and color live in ONE combined (7, Z, Y, X) array: the whole
+    advection chain streams all 7 channels together (ops/pallas/advect.py),
+    and keeping them separate forced a 7-channel concatenate+split per step
+    (~2 ms of pure HBM copy at 256^3, measured round 3).  The reference's
+    separate RGBA16F textures (Fluid.cpp:204-216) are a D3D12 resource
+    artifact, not a semantic one; `velocity`/`color` remain as views.
+    """
+
+    fields: jax.Array    # (7, Z, Y, X): [0:3] velocity xyz, [3:7] premult RGBA
     pressure: jax.Array  # (Z, Y, X) Poisson scratch, persistent for warm start
+
+    @property
+    def velocity(self) -> jax.Array:
+        """(3, Z, Y, X) sim-space velocity view (x, y, z components)."""
+        return self.fields[:3]
+
+    @property
+    def color(self) -> jax.Array:
+        """(4, Z, Y, X) premultiplied RGBA smoke color view."""
+        return self.fields[3:]
+
+    @classmethod
+    def from_parts(cls, velocity: jax.Array, color: jax.Array,
+                   pressure: jax.Array) -> "FluidState":
+        return cls(fields=jnp.concatenate([velocity, color], axis=0),
+                   pressure=pressure)
+
+    def with_velocity(self, velocity: jax.Array) -> "FluidState":
+        return self._replace(
+            fields=jnp.concatenate([velocity, self.fields[3:]], axis=0))
+
+    def with_color(self, color: jax.Array) -> "FluidState":
+        return self._replace(
+            fields=jnp.concatenate([self.fields[:3], color], axis=0))
 
 
 class SceneParams(NamedTuple):
@@ -66,8 +97,7 @@ def make_initial_state(config: FluidConfig) -> FluidState:
     z, y, x = config.zyx
     dt = config.sim_dtype
     return FluidState(
-        velocity=jnp.zeros((3, z, y, x), dtype=dt),
-        color=jnp.zeros((4, z, y, x), dtype=dt),
+        fields=jnp.zeros((7, z, y, x), dtype=dt),
         pressure=jnp.zeros((z, y, x), dtype=jnp.float32),
     )
 

@@ -37,7 +37,7 @@ def load_state(path: str, expected_zyx=None) -> FluidState:
     with np.load(path) as data:
         store = jnp.dtype(str(data["store_dtype"])) if "store_dtype" in data \
             else data["velocity"].dtype
-        state = FluidState(
+        state = FluidState.from_parts(
             velocity=jnp.asarray(data["velocity"], dtype=store),
             color=jnp.asarray(data["color"], dtype=store),
             pressure=jnp.asarray(data["pressure"]),

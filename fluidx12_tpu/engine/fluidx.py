@@ -73,6 +73,16 @@ class FluidXEngine:
             self.sh_coeffs = project_cubemap_sh(self.radiance, order=3)[:9]
 
         self._programs: Dict[Tuple[RenderMethod, int], callable] = {}
+        # Host-side per-frame caches (VERDICT r2 item 8: the repeated
+        # matrix/LOD math + params re-upload cost ~1.2 ms/frame at 128^3).
+        # Keyed on camera pose + pause state: a static camera re-uses the
+        # packed device params and the plane spec; any orbit/dolly/pause
+        # invalidates.  base_seed is counter-derived (not np.random) and is
+        # unused by kernels (parity field), so a cached upload is exact.
+        self._frame_key = None
+        self._frame_cache: Optional[Tuple[jax.Array, int, Optional[int]]] = None
+        self._plane_key = None
+        self._plane_cache = None
 
     # ------------------------------------------------------------------
     # Host-side per-frame update (the CB upload analog)
@@ -85,6 +95,9 @@ class FluidXEngine:
         Fluid.cpp:880-887)."""
         cfg = self.config
         dt = 0.0 if self.is_paused else cfg.time_step
+        pose = (dt, self.camera.view.tobytes(), self.camera.proj.tobytes())
+        if pose == self._frame_key and self._frame_cache is not None:
+            return self._frame_cache
         wvp = self.world @ self.camera.view_proj
         wvp_i = m3.inverse(wvp)
         screen_to_world = m3.inverse(self.camera.view_proj)
@@ -101,7 +114,7 @@ class FluidXEngine:
         # One packed f32 array = one host->device transfer per frame (the
         # analog of the reference's single CB upload, Fluid.cpp:288-321).
         flat = pack_scene_params_host(
-            dt, np.random.randint(0, 2**24),
+            dt, (self.frame_index * 2654435761) % (1 << 24),
             np.asarray(self.camera.eye, np.float32),
             np.array(cfg.light_pos, np.float32),
             np.array(cfg.light_color, np.float32),
@@ -110,7 +123,9 @@ class FluidXEngine:
             ray_samples, cfg.max_light_samples, mask,
         )
         vis_mask = None if cfg.face_cull == FaceCullMode.NONE else mask
-        return jnp.asarray(flat), lod, vis_mask
+        self._frame_key = pose
+        self._frame_cache = (jnp.asarray(flat), lod, vis_mask)
+        return self._frame_cache
 
     # ------------------------------------------------------------------
     # Device-side fused step (jitted per method x lod)
@@ -137,21 +152,24 @@ class FluidXEngine:
                 # Faithful paths keep the reference's distinction
                 # (fast_render=False).
                 #
-                # Point lights (_POINT_LIGHT_, RayMarch.hlsli:40): the fast
-                # sweeps assume parallel rays, so point_light auto-falls
-                # back to the faithful per-ray paths instead of silently
-                # rendering directional light (warned once at build).
-                # Every method now has a fast twin (the DIRECT pair rides
-                # the shear-warp): the gate is only the config switch and
-                # the point-light fallback.
-                fast = cfg.fast_render and not cfg.point_light
-                if cfg.fast_render and cfg.point_light:
+                # Point lights (_POINT_LIGHT_, RayMarch.hlsli:40) ride the
+                # projective sweep (lightmap_sweep.point_transmittance)
+                # at full speed when the light sits outside the volume;
+                # only an in-volume point light falls back to the faithful
+                # per-ray paths (warned once at build).
+                from fluidx12_tpu.render.lightmap_sweep import (
+                    point_sweep_supported,
+                )
+
+                point_ok = not cfg.point_light or point_sweep_supported(cfg)
+                fast = cfg.fast_render and point_ok
+                if cfg.fast_render and not point_ok:
                     import warnings
 
                     warnings.warn(
-                        "point_light=True: fast_render sweeps assume a "
-                        "directional light; using the faithful per-ray "
-                        "paths for correct point-light shadows.",
+                        "point_light with the light inside the volume: the "
+                        "projective sweep needs an exterior light; using "
+                        "the faithful per-ray paths.",
                         stacklevel=2,
                     )
                 # Fast DIRECT methods need the base-plane spec (None when
@@ -213,14 +231,24 @@ class FluidXEngine:
         (eye inside the volume / fast path off).  Host math; quantized, so
         an orbiting camera retraces only at coarse thresholds."""
         cfg = self.config
-        if not (cfg.fast_render and cfg.is_3d and not cfg.point_light):
+        if not (cfg.fast_render and cfg.is_3d):
             return None
+        if cfg.point_light:
+            from fluidx12_tpu.render.lightmap_sweep import point_sweep_supported
+
+            if not point_sweep_supported(cfg):
+                return None
+        pose = (self.camera.view.tobytes(), self.camera.proj.tobytes())
+        if pose == self._plane_key:
+            return self._plane_cache
         from fluidx12_tpu.render.screencomp import direct_plane_spec
 
         local_eye = (np.append(np.asarray(self.camera.eye, np.float64), 1.0)
                      @ self.world_i)[:3]
         wvp = self.world @ self.camera.view_proj
-        return direct_plane_spec(local_eye, wvp, cfg.viewport, cfg)
+        self._plane_key = pose
+        self._plane_cache = direct_plane_spec(local_eye, wvp, cfg.viewport, cfg)
+        return self._plane_cache
 
     # ------------------------------------------------------------------
     def step_frame(self) -> jax.Array:

@@ -38,6 +38,48 @@ MAX_DISP = 12  # voxels; keep in sync with sim/advect_fast.MAX_DISP
 _CALM_DISP = 2
 
 
+def _clamp_disp_inbounds(d, axis_ids_f, n):
+    """Absorb edge-clamp addressing into the displacement itself.
+
+    out[i] = lerp(q[clamp(i+floor(d))], q[clamp(i+floor(d)+1)]) is exactly
+    equivalent to clamping d to [-i, n-1-i] first and then sampling with NO
+    address clamp: fully-out-of-range backtraces land on the edge value with
+    weight 1, partial overhangs collapse to the edge value too (both taps
+    clamp to the same cell, (1-f)+f = 1).  This replaces two jnp.where
+    selects PER TAP PER CHANNEL (the round-2 kernels' biggest VPU cost) with
+    one clip on the channel-free displacement.  Taps outside the clamped
+    range carry exactly zero weight, so wrapped roll values are harmless.
+    """
+    return jnp.clip(d, -axis_ids_f, (n - 1.0) - axis_ids_f)
+
+
+_MID_DISP = 6  # middle displacement tier (z-pass): 14 static taps
+
+
+def _resample_clamped(q, d, axis, lo: int, hi: int):
+    """Static unrolled resample: taps lo..hi (inclusive), independent
+    static rolls of q (the fastest tap shape: no serial chain, taps
+    overlap on the VPU).  d must be pre-clamped in-bounds
+    (_clamp_disp_inbounds), so there are NO per-tap edge selects and
+    wrapped roll values carry exactly zero weight -- ~40% less VPU work
+    per tap than the round-2 form.  Every tap temporary stays live on the
+    scoped-VMEM stack, so callers bound block sizes accordingly.
+
+    (A fori_loop "roll chain" -- one dynamic start + static shift-by-1 of
+    the carry -- was tried for an adaptive trip count with ~3 live
+    temporaries; Mosaic takes unbounded time compiling it.  Dynamic
+    per-tap rolls measured ~5x slower and do not exist for 16-bit data.)
+    """
+    n = q.shape[axis]
+    f32 = jnp.float32
+    qf = q.astype(f32)  # rolls lower via tpu.dynamic_rotate: 32-bit only
+    out = jnp.zeros_like(qf)
+    for a in range(lo, hi + 1):
+        w = jnp.maximum(1.0 - jnp.abs(d - float(a)), 0.0)
+        out = out + pltpu.roll(qf, (n - a) % n, axis) * w[None]
+    return out
+
+
 def _resample_axis(q: jax.Array, d: jax.Array, axis: int,
                    max_disp: int = MAX_DISP) -> jax.Array:
     """Variable-shift linear resample along `axis` of a VMEM-resident array.
@@ -108,23 +150,34 @@ def _pass_kernel(vol_ref, d_ref, out_ref, *, axis: int):
 
 def _pass_kernel_fused_d(vol_ref, scale_ref, out_ref, *, axis: int,
                          disp_ch: int):
-    """_pass_kernel computing the displacement IN-BLOCK: with all channels
-    in one block, d = clip(-u[disp_ch] * scale) needs no separate XLA pass
-    or HBM-resident displacement array (saves one volume-sized read+write
-    per pass).  scale = dt * grid_extent rides in SMEM (dt is traced)."""
+    """All-channel resample pass computing the displacement IN-BLOCK:
+    d = clip(-u[disp_ch] * scale) needs no separate XLA pass or
+    HBM-resident displacement array (saves one volume-sized read+write per
+    pass).  scale = dt * grid_extent rides in SMEM (dt is traced).
+
+    Two-tier taps: calm blocks (the majority at this granularity) unroll
+    6 static rolls, fast-flow blocks the full 26 (_resample_clamped); both
+    are bit-identical and select-free (edge clamping rides in the
+    displacement).
+    """
     q = vol_ref[...]
-    d = jnp.clip(-q[disp_ch].astype(jnp.float32) * scale_ref[0],
+    f32 = jnp.float32
+    n = q.shape[axis]
+    d = jnp.clip(-q[disp_ch].astype(f32) * scale_ref[0],
                  -float(MAX_DISP), float(MAX_DISP))
+    ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis - 1).astype(f32)
+    d = _clamp_disp_inbounds(d, ids, n)
     calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
 
     @pl.when(calm)
     def _():
-        out_ref[...] = _resample_axis(
-            q, d, axis=axis, max_disp=_CALM_DISP).astype(out_ref.dtype)
+        out_ref[...] = _resample_clamped(
+            q, d, axis, -_CALM_DISP, _CALM_DISP + 1).astype(out_ref.dtype)
 
     @pl.when(jnp.logical_not(calm))
     def _():
-        out_ref[...] = _resample_axis(q, d, axis=axis).astype(out_ref.dtype)
+        out_ref[...] = _resample_clamped(
+            q, d, axis, -MAX_DISP, MAX_DISP + 1).astype(out_ref.dtype)
 
 
 # Per-tap temporaries stay live on Mosaic's 16 MB scoped-VMEM stack, so the
@@ -159,34 +212,94 @@ def _pick_tiles(z: int, lat: int, res: int, gran: int,
     return slab, lat_tile
 
 
+def _pass_kernel_fused_d1(vol_ref, dsrc_ref, scale_ref, out_ref, *,
+                          axis: int):
+    """Per-channel variant of _pass_kernel_fused_d: the block holds ONE
+    channel, and the displacement channel's block rides a second
+    channel-pinned input (fetched once per (z, lat) step -- the channel
+    grid dim is innermost).  Used when the all-channel tiling cannot fit
+    (e.g. the y pass at 256^3, whose minimum 128-lane tile x 7 channels
+    would put the heavy tier's 26 tap temporaries past the VMEM stack).
+    The weights are recomputed per channel -- the price of the split."""
+    q = vol_ref[...]
+    f32 = jnp.float32
+    n = q.shape[axis]
+    d = jnp.clip(-dsrc_ref[0].astype(f32) * scale_ref[0],
+                 -float(MAX_DISP), float(MAX_DISP))
+    ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis - 1).astype(f32)
+    d = _clamp_disp_inbounds(d, ids, n)
+    calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
+
+    @pl.when(calm)
+    def _():
+        out_ref[...] = _resample_clamped(
+            q, d, axis, -_CALM_DISP, _CALM_DISP + 1).astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(calm))
+    def _():
+        out_ref[...] = _resample_clamped(
+            q, d, axis, -MAX_DISP, MAX_DISP + 1).astype(out_ref.dtype)
+
+
 def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
                     disp_ch: int, scale) -> jax.Array:
-    """All-channel resample pass with the displacement computed in-block
-    (see _pass_kernel_fused_d).  Returns None when the all-channel tiling
-    doesn't fit (the caller falls back to the precomputed-disp form)."""
+    """Resample pass with the displacement computed in-block
+    (_pass_kernel_fused_d): all channels share a block when the tiling
+    fits, else per-channel blocks with a channel-pinned displacement input
+    (_pass_kernel_fused_d1).  Returns None when neither tiling fits (the
+    caller falls back to the precomputed-displacement / XLA forms)."""
     c, z, a, b = vol.shape
     lat, res, gran = (a, b, 8) if axis == 3 else (b, a, 128)
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
+
     tiles = _pick_tiles(z, lat, res * c, gran, _CBLOCK_BUDGET_ELEMS)
+    if tiles is not None:
+        slab, lat_t = tiles
+        if axis == 3:
+            block = (c, slab, lat_t, b)
+            vol_map = lambda zi, li: (0, zi, li, 0)
+        else:
+            block = (c, slab, a, lat_t)
+            vol_map = lambda zi, li: (0, zi, 0, li)
+        return pl.pallas_call(
+            functools.partial(_pass_kernel_fused_d, axis=axis, disp_ch=disp_ch),
+            out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+            grid=(z // slab, lat // lat_t),
+            in_specs=[
+                pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,), lambda zi, li: (0,), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(vol, scale_arr)
+
+    tiles = _pick_tiles(z, lat, res, gran, _BLOCK_BUDGET_ELEMS)
     if tiles is None:
         return None
     slab, lat_t = tiles
+    # Channel INNERMOST: the displacement channel's block index ignores ci,
+    # so Mosaic fetches it once per (z, lat) step.
     if axis == 3:
-        block = (c, slab, lat_t, b)
-        vol_map = lambda zi, li: (0, zi, li, 0)
+        block = (1, slab, lat_t, b)
+        vol_map = lambda zi, li, ci: (ci, zi, li, 0)
+        d_map = lambda zi, li, ci, dc=disp_ch: (dc, zi, li, 0)
     else:
-        block = (c, slab, a, lat_t)
-        vol_map = lambda zi, li: (0, zi, 0, li)
+        block = (1, slab, a, lat_t)
+        vol_map = lambda zi, li, ci: (ci, zi, 0, li)
+        d_map = lambda zi, li, ci, dc=disp_ch: (dc, zi, 0, li)
     return pl.pallas_call(
-        functools.partial(_pass_kernel_fused_d, axis=axis, disp_ch=disp_ch),
+        functools.partial(_pass_kernel_fused_d1, axis=axis),
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
-        grid=(z // slab, lat // lat_t),
+        grid=(z // slab, lat // lat_t, c),
         in_specs=[
             pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda zi, li: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(block, d_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda zi, li, ci: (0,),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(vol, jnp.asarray(scale, jnp.float32).reshape(1))
+    )(vol, vol, scale_arr)
 
 
 def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, interpret: bool):
@@ -241,8 +354,8 @@ _ZHALO = MAX_DISP + 1   # taps span [-MAX_DISP, MAX_DISP + 1]
 _ZHBLK = 16             # halo block planes (smallest multiple of 8 >= _ZHALO)
 
 
-def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
-                  slab: int, nz: int, epilogue=None):
+def _zpass_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref, out_ref,
+                  win_ref, *, slab: int, nz: int, epilogue=None):
     """Resample the leading (z) axis of one channel's slab.
 
     The x/y passes resample the lane/sublane axes with vector rolls; z is a
@@ -253,79 +366,53 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref, *,
     _ZHBLK planes (index maps clamped at the volume edges), so DMA overlaps
     compute and read redundancy is only (slab + 2*_ZHBLK)/slab.
 
-    Tap evaluation is two-tier (grid-step overhead, not VPU work, dominates
-    this pass, so blocks are sized 4x beyond what a fully-unrolled 26-tap
-    set would allow): calm blocks take an unrolled 6-tap path (static
-    offsets); the rare heavy blocks run the full 26 taps in a fori_loop
-    with dynamic-start window reads, which keeps one live temporary.
-    Per-tap global masks apply CLAMP addressing at the two edge slabs
-    (elsewhere they never bite, so interior slabs take mask-free paths).
-    d (the center displacements) ignores the channel grid dim and is
-    revisited across the channel steps.
+    The displacement is computed IN-KERNEL from the u_z channel's center
+    block (uz_ref rides a channel-pinned BlockSpec, so Mosaic fetches it
+    once per (z, y) across the channel-innermost grid steps) -- no HBM
+    displacement array.  Edge-clamp addressing is absorbed into the
+    displacement (_clamp_disp_inbounds): out-of-volume window reads then
+    carry exactly zero weight (the halo scratch holds finite garbage at the
+    two boundary slabs, which 0-weights erase), so there are NO per-tap
+    masks and NO interior/edge branches.  Taps run a dynamic-bounds
+    fori_loop (see _dyn_resample): calm slabs do ~2-3 taps.
     """
     zi = pl.program_id(0)
     z0 = zi * slab
-    d = d_ref[...]
-    f32 = jnp.float32  # storage may be f16; window/tap math runs in f32
+    f32 = jnp.float32  # storage may be half; window/tap math runs in f32
     win_ref[: _ZHALO] = prev_ref[0, _ZHBLK - _ZHALO:].astype(f32)
     win_ref[pl.ds(_ZHALO, slab)] = cur_ref[0].astype(f32)
     win_ref[pl.ds(_ZHALO + slab, _ZHALO)] = next_ref[0, :_ZHALO].astype(f32)
+
+    d = jnp.clip(-uz_ref[0].astype(f32) * scale_ref[0],
+                 -float(MAX_DISP), float(MAX_DISP))
     ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + z0  # global z
-    lo_edge = cur_ref[0, :1].astype(f32)   # only read at zi == 0 / last
-    hi_edge = cur_ref[0, slab - 1:].astype(f32)
-    calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
-    interior = (zi > 0) & (zi < pl.num_programs(0) - 1)
+    d = _clamp_disp_inbounds(d, ids.astype(f32), nz)
+    # Dynamic-bounds fori over exactly the taps this block needs (z taps
+    # are WINDOW SLICES: leading-dim dynamic starts are address math, not
+    # lane shuffles, so unlike the lateral passes there is no static-shift
+    # advantage to chase).  Single un-branched path: pl.when tiers do not
+    # share scoped-VMEM stack space, so branching multiplies the
+    # high-water mark for no win here.
+    lo = jnp.floor(jnp.min(d)).astype(jnp.int32)
+    hi = jnp.floor(jnp.max(d)).astype(jnp.int32) + 1
 
-    def clamp(val, a, masked):
-        if not masked:
-            return val
-        val = jnp.where(ids + a < 0, lo_edge, val)
-        val = jnp.where(ids + a >= nz, hi_edge, val)
-        return val
+    def tap(a, out):
+        w = jnp.maximum(1.0 - jnp.abs(d - a.astype(f32)), 0.0)
+        return out + win_ref[pl.ds(_ZHALO + a, slab)] * w
 
-    def finish(out):
-        if epilogue is not None:
-            out = epilogue(out, ids)
+    out = jax.lax.fori_loop(lo, hi + 1, tap, jnp.zeros_like(d))
+    # An epilogue writes out_ref itself (it may branch with pl.when, which
+    # cannot return values); the plain path stores directly.
+    if epilogue is not None:
+        epilogue(out, ids)
+    else:
         out_ref[0] = out.astype(out_ref.dtype)
 
-    def calm_path(masked):
-        out = jnp.zeros_like(d)
-        for a in range(-_CALM_DISP, _CALM_DISP + 2):
-            w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)
-            val = win_ref[pl.ds(_ZHALO + a, slab)]
-            out = out + clamp(val, a, masked) * w
-        finish(out)
 
-    def heavy_path(masked):
-        def tap(ai, out):
-            a = ai - MAX_DISP
-            w = jnp.maximum(1.0 - jnp.abs(d - a.astype(d.dtype)), 0.0)
-            val = win_ref[pl.ds(_ZHALO + a, slab)]
-            return out + clamp(val, a, masked) * w
-
-        finish(jax.lax.fori_loop(
-            0, 2 * MAX_DISP + 2, tap, jnp.zeros_like(d)))
-
-    @pl.when(calm & interior)
-    def _():
-        calm_path(masked=False)
-
-    @pl.when(calm & jnp.logical_not(interior))
-    def _():
-        calm_path(masked=True)
-
-    @pl.when(jnp.logical_not(calm) & interior)
-    def _():
-        heavy_path(masked=False)
-
-    @pl.when(jnp.logical_not(calm) & jnp.logical_not(interior))
-    def _():
-        heavy_path(masked=True)
-
-
-def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, d_ref, dt_ref, fc_ref,
-                         out_ref, win_ref, *, slab: int, nz: int, ny: int,
-                         nx: int, ytile: int, cfg_consts: tuple):
+def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref,
+                         dt_ref, fc_ref, out_ref, win_ref, *, slab: int,
+                         nz: int, ny: int, nx: int, ytile: int,
+                         cfg_consts: tuple):
     """z-resample + fused impulse/forces epilogue (the last advect pass
     writes the FORCED state directly, saving a full 7-channel HBM round
     trip over a separate force pass; semantics identical to
@@ -336,31 +423,57 @@ def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, d_ref, dt_ref, fc_ref,
     + B_dx*dx) * dt, lo, hi) * max(1 - dissipation*dt, 0).
     """
     ip_x, ip_y, ip_z, radius, dissipation = cfg_consts
+    zi = pl.program_id(0)
     yi = pl.program_id(1)
     ci = pl.program_id(2)
     f32 = jnp.float32
 
-    def epilogue(out, gz_ids):
-        # Simulation-space voxel centers (GridToSimulationSpace).
-        cz = (gz_ids.astype(f32) + 0.5) / nz
-        cy = ((jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
-               + yi * ytile).astype(f32) + 0.5) / ny
-        cx = (jax.lax.broadcasted_iota(jnp.int32, out.shape, 2)
-              .astype(f32) + 0.5) / nx
-        dx_ = cx - ip_x
-        dy_ = cy - ip_y
-        dz_ = cz - ip_z
-        d2 = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
-        basis = jnp.exp(-4.0 * d2 / (radius * radius))
-        in_imp = (basis >= 0.01831563889245799).astype(f32)  # exp(-4)
-        dt = dt_ref[0]
-        ext = (fc_ref[ci, 0] * basis + fc_ref[ci, 1] * (-dz_)
-               + fc_ref[ci, 2] * dx_)
-        out = jnp.clip(out + in_imp * ext * dt, fc_ref[ci, 3], fc_ref[ci, 4])
-        return out * jnp.maximum(1.0 - dissipation * dt, 0.0)
+    # Scalar block-AABB vs impulse-sphere test, hoisted out of the tier
+    # branches: the Gaussian impulse only reaches where basis >= exp(-4),
+    # i.e. |pos - impulse_pos| <= radius -- ~0.2% of the volume.  Blocks
+    # outside it skip the exp() entirely (a transcendental per voxel per
+    # channel was a real cost; VPU transcendentals are expensive,
+    # CLAUDE.md).  x spans the full block, so only z/y distance matters.
+    z_lo = (zi * slab + 0.5) / nz
+    z_hi = (zi * slab + slab - 0.5) / nz
+    y_lo = (yi * ytile + 0.5) / ny
+    y_hi = (yi * ytile + ytile - 0.5) / ny
+    dzb = jnp.clip(ip_z, z_lo, z_hi) - ip_z
+    dyb = jnp.clip(ip_y, y_lo, y_hi) - ip_y
+    hit = dzb * dzb + dyb * dyb <= radius * radius
 
-    _zpass_body(prev_ref, cur_ref, next_ref, d_ref, out_ref, win_ref,
-                slab=slab, nz=nz, epilogue=epilogue)
+    def epilogue(out, gz_ids):
+        dt = dt_ref[0]
+        atten = jnp.maximum(1.0 - dissipation * dt, 0.0)
+
+        @pl.when(hit)
+        def _():
+            # Simulation-space voxel centers (GridToSimulationSpace).
+            cz = (gz_ids.astype(f32) + 0.5) / nz
+            cy = ((jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+                   + yi * ytile).astype(f32) + 0.5) / ny
+            cx = (jax.lax.broadcasted_iota(jnp.int32, out.shape, 2)
+                  .astype(f32) + 0.5) / nx
+            dx_ = cx - ip_x
+            dy_ = cy - ip_y
+            dz_ = cz - ip_z
+            d2 = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+            basis = jnp.exp(-4.0 * d2 / (radius * radius))
+            in_imp = (basis >= 0.01831563889245799).astype(f32)  # exp(-4)
+            ext = (fc_ref[ci, 0] * basis + fc_ref[ci, 1] * (-dz_)
+                   + fc_ref[ci, 2] * dx_)
+            forced = jnp.clip(out + in_imp * ext * dt,
+                              fc_ref[ci, 3], fc_ref[ci, 4])
+            out_ref[0] = (forced * atten).astype(out_ref.dtype)
+
+        @pl.when(jnp.logical_not(hit))
+        def _():
+            # No impulse reach: clip (exact same saturation point) + decay.
+            clipped = jnp.clip(out, fc_ref[ci, 3], fc_ref[ci, 4])
+            out_ref[0] = (clipped * atten).astype(out_ref.dtype)
+
+    _zpass_body(prev_ref, cur_ref, next_ref, uz_ref, scale_ref, out_ref,
+                win_ref, slab=slab, nz=nz, epilogue=epilogue)
 
 
 # The plain kernel shares the body; keep one traced implementation.
@@ -406,12 +519,13 @@ def _forces_table(config):
     return fc
 
 
-def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
+def _run_zpass(vol: jax.Array, scale, interpret: bool,
                slab_max: int = 64, forces_cfg=None, forces_dt=None):
-    """vol (C, Z, Y, X), disp (Z, Y, X) pre-clipped: resample z.
+    """vol (C, Z, Y, X): resample z with displacement -u_z * scale computed
+    in-kernel from channel 2 (see _zpass_kernel).
 
     Grid is (z-slab, y-tile, channel) with channel innermost so the shared
-    displacement block keeps the same index across the channel steps and is
+    u_z center block keeps the same index across the channel steps and is
     fetched once per (z, y).  Returns None if the shape doesn't tile.
     With forces_cfg/forces_dt, the impulse+force+dissipation pass fuses
     into the output write (see _zpass_forces_kernel).
@@ -428,6 +542,7 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
     grid = (n_slabs, ny // ytile, c)
     blk = (1, slab, ytile, nx)
     hblk = (1, _ZHBLK, ytile, nx)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     in_specs = [
         # prev halo: last _ZHBLK planes of slab zi-1 (clamped at 0)
         pl.BlockSpec(hblk,
@@ -439,8 +554,10 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
         pl.BlockSpec(hblk,
                      lambda zi, yi, ci, hb=hb, n=n_hblks: (ci, jnp.minimum((zi + 1) * hb, n - 1), yi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((slab, ytile, nx), lambda zi, yi, ci: (zi, yi, 0),
+        # u_z center block (channel pinned to 2; constant across ci steps)
+        pl.BlockSpec(blk, lambda zi, yi, ci: (2, zi, yi, 0),
                      memory_space=pltpu.VMEM),
+        smem((1,), lambda zi, yi, ci: (0,)),
     ]
     if forces_cfg is not None:
         cfg = forces_cfg
@@ -449,7 +566,6 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
             cfg_consts=(float(cfg.impulse_pos[0]), float(cfg.impulse_pos[1]),
                         float(cfg.impulse_pos[2]), float(cfg.impulse_radius),
                         float(cfg.dissipation)))
-        smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
         in_specs = in_specs + [smem((1,), lambda zi, yi, ci: (0,)),
                                smem((7, 5), lambda zi, yi, ci: (0, 0))]
         extra = (jnp.asarray(forces_dt, jnp.float32).reshape(1),
@@ -467,7 +583,7 @@ def _run_zpass(vol: jax.Array, disp: jax.Array, interpret: bool,
         scratch_shapes=[
             pltpu.VMEM((slab + 2 * _ZHALO, ytile, nx), jnp.float32)],
         interpret=interpret,
-    )(vol, vol, vol, disp, *extra)
+    )(vol, vol, vol, vol, jnp.asarray(scale, jnp.float32).reshape(1), *extra)
 
 
 def zpass_forces_supported(config) -> bool:
@@ -500,8 +616,10 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
         # XLA-twin fallback computes in f32 and restores the storage dtype.
         return _advect_1d(vol.astype(jnp.float32), d, axis).astype(vol.dtype)
 
-    # Pass x (lanes); displacement computed in-block when the all-channel
-    # tiling fits (saves one volume-sized disp read+write per pass).
+    # Pass x (lanes) then pass y (sublanes), each an all-channel
+    # two-tier kernel with the displacement computed in-block (pass y reads
+    # the x-advected u_y from its own input block -- no HBM displacement
+    # arrays anywhere).
     out = _run_pass_fused(both, axis=3, interpret=interpret,
                           disp_ch=0, scale=dt * x)
     if out is None:
@@ -509,7 +627,6 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
                         interpret=interpret)
     if out is None:
         out = xla_1d(both, clip_disp(both[0], dt * x), axis=3)
-    # Pass y (sublanes) with the x-advected u_y.
     out2 = _run_pass_fused(out, axis=2, interpret=interpret,
                            disp_ch=1, scale=dt * y)
     if out2 is None:
@@ -521,8 +638,9 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
     if not config.is_3d:
         return out
 
-    # Pass z: leading-dim window kernel (no transposes).
-    out_z = _run_zpass(out, clip_disp(out[2], dt * z), interpret=interpret,
+    # Pass z: leading-dim window kernel (no transposes; displacement
+    # computed in-kernel from u_z).
+    out_z = _run_zpass(out, dt * z, interpret=interpret,
                        forces_cfg=config if forces_dt is not None else None,
                        forces_dt=forces_dt)
     if out_z is not None:

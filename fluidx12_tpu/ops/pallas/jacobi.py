@@ -428,11 +428,11 @@ def jacobi_pallas(pressure: jax.Array, div: jax.Array, iters: int,
         out_shape=(shape, shape),
         grid=(rounds, nz // slab, ny // ytile),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         input_output_aliases={0: 0},
     )(pressure, div)
     return qa if rounds % 2 == 0 else qb

@@ -34,60 +34,89 @@ from fluidx12_tpu.ops.pallas.shifts import (
 )
 
 
-def _z_neighbors(c, prev, nxt, bz, nz):
+def _z_neighbors(c, prev, nxt, bz, nz, z0=None):
     """(zm, zp): +-1 z-shifted views of block `c` using the adjacent blocks'
-    edge planes, clamped at the global volume boundary."""
+    edge planes, clamped at the global volume boundary.  prev/nxt are
+    single-plane blocks (the last plane of block i-1 / first of block i+1):
+    fetching one plane instead of a whole neighbor block keeps the kernel's
+    z-neighbor traffic at 2/bz of a volume instead of 2x (VERDICT r2: the
+    full-block fetch put grad_damp 4x off its HBM floor)."""
     zm = jnp.concatenate([prev[-1:], c[:-1]], axis=0)
     zp = jnp.concatenate([c[1:], nxt[:1]], axis=0)
-    gz = jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0) + pl.program_id(0) * bz
+    if z0 is None:
+        # NOTE: pl.program_id must not be called inside a pl.when branch
+        # (interpret mode cannot lower it there); callers that branch pass
+        # a hoisted z0.
+        z0 = pl.program_id(0) * bz
+    gz = jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0) + z0
     zm = jnp.where(gz == 0, c, zm)
     zp = jnp.where(gz == nz - 1, c, zp)
     return zm, zp
 
 
-def _div_kernel(vc, uzp, uzm, out, *, bz: int, nz: int):
+def _div_kernel(ux_ref, uy_ref, uz_ref, uzp, uzm, out, *, bz: int, nz: int):
     """out = 0.5 * (dx ux + dy uy + dz uz), edge-clamped central diffs.
-    uzp/uzm are the z channel alone (blocks i+1 / i-1): only its edge planes
-    are needed, and fetching 1 channel instead of 3 keeps blocks big.
-    Velocity may arrive in the half storage dtype; the stencil runs f32."""
+    Each velocity component rides its own channel-pinned BlockSpec of the
+    COMBINED state array (no channel slicing copies); uzp/uzm are the z
+    channel's single edge planes (blocks i+1 / i-1).  Velocity may arrive
+    in the half storage dtype; the stencil runs f32."""
     f32 = jnp.float32
-    ux, uy, uz = vc[0].astype(f32), vc[1].astype(f32), vc[2].astype(f32)
+    ux, uy, uz = (ux_ref[0].astype(f32), uy_ref[0].astype(f32),
+                  uz_ref[0].astype(f32))
     dx = _shift_lane_clamped(ux, +1) - _shift_lane_clamped(ux, -1)
     dy = _shift_sublane_clamped(uy, +1) - _shift_sublane_clamped(uy, -1)
-    zm, zp = _z_neighbors(uz, uzm[...].astype(f32), uzp[...].astype(f32), bz, nz)
+    zm, zp = _z_neighbors(uz, uzm[0].astype(f32), uzp[0].astype(f32), bz, nz)
     out[...] = 0.5 * (dx + dy + (zp - zm))
 
 
-def _grad_damp_kernel(vc, pc, pzp, pzm, out, *, bz: int, nz: int, ny: int,
+def _grad_damp_kernel(u_ref, pc, pzp, pzm, out, *, bz: int, nz: int, ny: int,
                       nx: int, rho: float):
     """out = damp(v - 0.5 * grad(p) / rho): the two post-Jacobi passes of the
     projection fused into one streaming pass (CSProject3D.hlsl:92-108).
-    v streams in the storage dtype; pressure and all math are f32, and the
-    output rounds back to the storage dtype (the state's quantization
-    point, core/config.py sim_dtype)."""
+
+    Grid is (z-block, component) with the component innermost, so the
+    pressure blocks (whose index maps ignore the component) are fetched
+    once per z-block; each step reads ONE velocity channel of the combined
+    state array and writes it back through an aliased output -- the color
+    channels are never touched (zero traffic), which is what lets the
+    projection run on the combined (7, Z, Y, X) state without any channel
+    slicing copies.  v streams in the storage dtype; pressure and all math
+    are f32, and the output rounds back to the storage dtype (the state's
+    quantization point, core/config.py sim_dtype)."""
+    ci = pl.program_id(1)
+    z0 = pl.program_id(0) * bz  # hoisted: program_id is illegal inside pl.when
     p = pc[...]
     s = 0.5 / rho
-    gx = (_shift_lane_clamped(p, +1) - _shift_lane_clamped(p, -1)) * s
-    gy = (_shift_sublane_clamped(p, +1) - _shift_sublane_clamped(p, -1)) * s
-    zm, zp = _z_neighbors(p, pzm[...], pzp[...], bz, nz)
-    gz = (zp - zm) * s
+    f32 = jnp.float32
+    u = u_ref[0].astype(f32)
 
     # Boundary damp: pos in [-1, 1] per axis; outward components scale by
     # clamp((0.97 - |pos|)/0.03, -1, 1).
     def pos(n, iota_dim):
         ids = jax.lax.broadcasted_iota(jnp.int32, (bz, ny, nx), iota_dim)
         if iota_dim == 0:
-            ids = ids + pl.program_id(0) * bz
+            ids = ids + z0
         return ((ids.astype(p.dtype) + 0.5) / n) * 2.0 - 1.0
 
     def damp(u, pv):
         scale = jnp.clip((0.97 - jnp.abs(pv)) / 0.03, -1.0, 1.0)
         return jnp.where(u * pv > 0.0, u * scale, u)
 
-    f32 = jnp.float32
-    out[0] = damp(vc[0].astype(f32) - gx, pos(nx, 2)).astype(out.dtype)
-    out[1] = damp(vc[1].astype(f32) - gy, pos(ny, 1)).astype(out.dtype)
-    out[2] = damp(vc[2].astype(f32) - gz, pos(nz, 0)).astype(out.dtype)
+    @pl.when(ci == 0)
+    def _():
+        gx = (_shift_lane_clamped(p, +1) - _shift_lane_clamped(p, -1)) * s
+        out[0] = damp(u - gx, pos(nx, 2)).astype(out.dtype)
+
+    @pl.when(ci == 1)
+    def _():
+        gy = (_shift_sublane_clamped(p, +1) - _shift_sublane_clamped(p, -1)) * s
+        out[0] = damp(u - gy, pos(ny, 1)).astype(out.dtype)
+
+    @pl.when(ci == 2)
+    def _():
+        zm, zp = _z_neighbors(p, pzm[...], pzp[...], bz, nz, z0=z0)
+        gz = (zp - zm) * s
+        out[0] = damp(u - gz, pos(nz, 0)).astype(out.dtype)
 
 
 def _gradient_kernel(qc, qzp, qzm, out, *, bz: int, nz: int, ny: int, nx: int):
@@ -200,7 +229,10 @@ def _residual_kernel(qc, qzp, qzm, bc, out, *, bz: int, nz: int):
 
 def _pick_bz(nz: int, plane_bytes: int, n_blocks_vmem: int) -> int:
     """Largest z-block keeping ~n_blocks_vmem plane-stacks under ~12 MB.
-    Mosaic double-buffers every pipelined block, hence the factor 2."""
+    Mosaic double-buffers every pipelined block, hence the factor 2.
+    Neighbor planes are single-plane blocks and cost ~nothing here, but
+    their per-block refetch costs 2/bz of a volume in HBM traffic -- so
+    prefer the LARGEST bz that fits, not the smallest that works."""
     bz = nz
     while bz > 1 and (bz % 2 == 0) and bz * plane_bytes * n_blocks_vmem * 2 > 12 * 1024 * 1024:
         bz //= 2
@@ -215,42 +247,71 @@ def stencil_pallas_supported(zyx) -> bool:
 
 
 def _zspecs(bz, ny, nx, nz, lead=None):
-    """BlockSpecs for (center, z+1, z-1) views of one array."""
+    """BlockSpecs for (center, z+1-edge, z-1-edge) views of one array.
+
+    The center spec is a bz-plane block; the neighbor specs are SINGLE-plane
+    blocks pointing at the first plane of block i+1 / the last plane of block
+    i-1 (clamped at the volume ends) -- the only planes _z_neighbors reads.
+    """
     nb = nz // bz - 1
+    del nb  # center blocks index directly; edges clamp on plane indices
     shape = (bz, ny, nx) if lead is None else (lead, bz, ny, nx)
 
-    def mk(off):
-        # index maps run traced on the scalar core: jnp.clip, not min/max
+    def mk_center():
         if lead is None:
-            return pl.BlockSpec(shape, lambda i: (jnp.clip(i + off, 0, nb), 0, 0))
-        return pl.BlockSpec(shape, lambda i: (0, jnp.clip(i + off, 0, nb), 0, 0))
+            return pl.BlockSpec(shape, lambda i: (i, 0, 0))
+        return pl.BlockSpec(shape, lambda i: (0, i, 0, 0))
 
-    return mk(0), mk(+1), mk(-1)
+    def mk_edge(off):
+        # index maps run traced on the scalar core: jnp.clip, not min/max.
+        # Block units are single planes, so the map returns plane indices.
+        if off > 0:
+            plane = lambda i: jnp.clip((i + 1) * bz, 0, nz - 1)
+        else:
+            plane = lambda i: jnp.clip(i * bz - 1, 0, nz - 1)
+        if lead is None:
+            return pl.BlockSpec((1, ny, nx), lambda i: (plane(i), 0, 0))
+        return pl.BlockSpec((lead, 1, ny, nx), lambda i: (0, plane(i), 0, 0))
+
+    return mk_center(), mk_edge(+1), mk_edge(-1)
 
 
-def divergence_pallas(velocity: jax.Array, bz: int = 0) -> jax.Array:
-    """Central-difference divergence of a (3, Z, Y, X) f32 field (3D)."""
-    _, nz, ny, nx = velocity.shape
+def divergence_pallas(fields: jax.Array, bz: int = 0) -> jax.Array:
+    """Central-difference divergence from a (C >= 3, Z, Y, X) field array
+    whose channels 0..2 are velocity (the combined state array works
+    directly -- channel-pinned BlockSpecs, no slicing copies)."""
+    _, nz, ny, nx = fields.shape
+    vb = fields.dtype.itemsize
     if not bz:
-        bz = _pick_bz(nz, ny * nx * 4, 3 + 1 + 1 + 1)
-    cv = pl.BlockSpec((3, bz, ny, nx), lambda i: (0, i, 0, 0))
-    _, zp, zm = _zspecs(bz, ny, nx, nz)
-    uz = velocity[2]
+        # 3 channel blocks (storage dtype) + f32 out + ~2 f32 temporaries.
+        bz = _pick_bz(nz, ny * nx, 3 * vb + 4 + 8)
+
+    def ch(c):
+        return pl.BlockSpec((1, bz, ny, nx), lambda i, c=c: (c, i, 0, 0))
+
+    def ch_edge(c, off):
+        if off > 0:
+            plane = lambda i: jnp.clip((i + 1) * bz, 0, nz - 1)
+        else:
+            plane = lambda i: jnp.clip(i * bz - 1, 0, nz - 1)
+        return pl.BlockSpec((1, 1, ny, nx),
+                            lambda i, c=c, plane=plane: (c, plane(i), 0, 0))
+
     return pl.pallas_call(
         functools.partial(_div_kernel, bz=bz, nz=nz),
         interpret=(jax.default_backend() == "cpu"),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
         grid=(nz // bz,),
-        in_specs=[cv, zp, zm],
+        in_specs=[ch(0), ch(1), ch(2), ch_edge(2, +1), ch_edge(2, -1)],
         out_specs=pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0)),
-    )(velocity, uz, uz)
+    )(fields, fields, fields, fields, fields)
 
 
 def gradient3_pallas(q: jax.Array) -> jax.Array:
     """(Z, Y, X) -> (3, Z, Y, X) spatial gradient (gx, gy, gz), matching
     jnp.gradient's central/one-sided scheme; f32 out."""
     nz, ny, nx = q.shape
-    bz = _pick_bz(nz, ny * nx * 4, 1 + 1 + 1 + 3)
+    bz = _pick_bz(nz, ny * nx, q.dtype.itemsize + 3 * 4)
     pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
     return pl.pallas_call(
         functools.partial(_gradient_kernel, bz=bz, nz=nz, ny=ny, nx=nx),
@@ -269,7 +330,8 @@ def gi_light_pallas(density: jax.Array, shadow: jax.Array, ao: jax.Array,
     + (9, 3) SH coeffs + (3, 3) world rotation + (3,) env light ->
     (3, Z, Y, X) f32 light map."""
     nz, ny, nx = density.shape
-    bz = _pick_bz(nz, ny * nx * 4, 1 + 1 + 1 + 1 + 1 + 3)
+    bz = _pick_bz(nz, ny * nx, density.dtype.itemsize
+                  + shadow.dtype.itemsize + ao.dtype.itemsize + 3 * 4)
     pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
     plane = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0))
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
@@ -292,7 +354,10 @@ def gi_light_pallas(density: jax.Array, shadow: jax.Array, ao: jax.Array,
 def residual_pallas(pressure: jax.Array, b: jax.Array) -> jax.Array:
     """Poisson residual b - A q of a (Z, Y, X) f32 pair (3D)."""
     nz, ny, nx = pressure.shape
-    bz = _pick_bz(nz, ny * nx * 4, 1 + 1 + 1 + 1 + 1)
+    # 3 f32 io stacks + ~4 block-sized f32 sweep temporaries (the +8
+    # allowance; at bz=8 the kernel measured 16.19 MB of scoped VMEM and
+    # OOM'd the 16 MB stack -- temporaries are real).
+    bz = _pick_bz(nz, ny * nx, 3 * 4 + 8)
     pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
     bspec = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0))
     return pl.pallas_call(
@@ -305,18 +370,31 @@ def residual_pallas(pressure: jax.Array, b: jax.Array) -> jax.Array:
     )(pressure, pressure, pressure, b)
 
 
-def grad_damp_pallas(velocity: jax.Array, pressure: jax.Array,
+def grad_damp_pallas(fields: jax.Array, pressure: jax.Array,
                      rho: float) -> jax.Array:
-    """Fused (v - 0.5*grad(p)/rho) + boundary damp; (3, Z, Y, X) f32."""
-    _, nz, ny, nx = velocity.shape
-    bz = _pick_bz(nz, ny * nx * 4, 3 + 3 + 3 + 3)
-    pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
-    vspec = pl.BlockSpec((3, bz, ny, nx), lambda i: (0, i, 0, 0))
+    """Fused (v - 0.5*grad(p)/rho) + boundary damp applied IN PLACE on a
+    (C >= 3, Z, Y, X) field array: the output aliases the input and only
+    the velocity-channel blocks (0..2) are ever written, so extra channels
+    (the combined state's color) pass through with ZERO read/write traffic.
+    Returns the full updated array."""
+    c, nz, ny, nx = fields.shape
+    vb = fields.dtype.itemsize
+    # 1 velocity channel in + aliased out (storage dtype) + f32 pressure
+    # block + ~3 f32 temporaries.
+    bz = _pick_bz(nz, ny * nx, 2 * vb + 4 + 12)
+
+    uspec = pl.BlockSpec((1, bz, ny, nx), lambda i, ci: (ci, i, 0, 0))
+    pc = pl.BlockSpec((bz, ny, nx), lambda i, ci: (i, 0, 0))
+    pzp = pl.BlockSpec((1, ny, nx),
+                       lambda i, ci: (jnp.clip((i + 1) * bz, 0, nz - 1), 0, 0))
+    pzm = pl.BlockSpec((1, ny, nx),
+                       lambda i, ci: (jnp.clip(i * bz - 1, 0, nz - 1), 0, 0))
     return pl.pallas_call(
         functools.partial(_grad_damp_kernel, bz=bz, nz=nz, ny=ny, nx=nx, rho=rho),
         interpret=(jax.default_backend() == "cpu"),
-        out_shape=jax.ShapeDtypeStruct(velocity.shape, velocity.dtype),
-        grid=(nz // bz,),
-        in_specs=[vspec, pc, pzp, pzm],
-        out_specs=vspec,
-    )(velocity, pressure, pressure, pressure)
+        out_shape=jax.ShapeDtypeStruct(fields.shape, fields.dtype),
+        grid=(nz // bz, 3),
+        in_specs=[uspec, pc, pzp, pzm],
+        out_specs=uspec,
+        input_output_aliases={0: 0},
+    )(fields, pressure, pressure, pressure)

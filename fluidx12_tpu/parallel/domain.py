@@ -37,8 +37,7 @@ def shard_state(state: FluidState, mesh: Mesh) -> FluidState:
     s4 = NamedSharding(mesh, P(None, Z_AXIS, None, None))
     s3 = NamedSharding(mesh, P(Z_AXIS, None, None))
     return FluidState(
-        velocity=jax.device_put(state.velocity, s4),
-        color=jax.device_put(state.color, s4),
+        fields=jax.device_put(state.fields, s4),
         pressure=jax.device_put(state.pressure, s3),
     )
 
@@ -307,4 +306,4 @@ def sharded_simulate(state: FluidState, time_step, config: FluidConfig, mesh: Me
 
     dt_arr = jnp.asarray(time_step, jnp.float32).reshape(1)
     vel, col, q = step(state.velocity, state.color, state.pressure, dt_arr)
-    return FluidState(velocity=vel, color=col, pressure=q)
+    return FluidState.from_parts(velocity=vel, color=col, pressure=q)

@@ -1,0 +1,329 @@
+"""Z-sharded light map: sharded shear-cumsum sweeps + sharded GI ambient.
+
+Replaces round 2's replicated light sweep (which all-gathered the density
+and ran the full O(N^3) sweep on EVERY device, parallel/render.py r2) with a
+genuinely decomposed one.  The sweep (render/lightmap_sweep.py) is
+    pool -> shear -> exclusive-cumsum over slices -> unshear -> unpool
+and only the cumsum crosses slices, so under Z-slab sharding:
+
+- **Z-major sweeps** (light mostly along z, and the two z-axis AO sweeps):
+  pooling, shear and unshear touch only local slices; the cross-shard term
+  is the exclusive prefix of each shard's total sheared optical depth -- a
+  single (W_a, W_b) plane per shard (the cumsum analog of the sharded
+  march's OVER composition).  Comm: one all_gather of n planes.
+
+- **X/Y-major sweeps with lateral slope** (the general directional light):
+  the shear mixes Z rows across shards, so the pooled slice-major block is
+  re-sharded from Z-slabs to SLICE blocks with one all_to_all (the pooled
+  volume is N^3/stride; each device moves only its 1/n of it -- ~2 MB at
+  256^3/8 devices, vs 33 MB for the density all-gather), the whole
+  shear/cumsum/unshear runs on the device's own slice block (1/n of the
+  compute), and a second all_to_all brings the transmittance back to
+  Z-slabs for the local unpool.
+
+- **Axis-aligned X/Y sweeps** (4 of the 6 AO sweeps): zero lateral slope
+  means no Z mixing at all -- the plain single-device sweep runs unchanged
+  on the local slab.  Zero communication.
+
+GI ambient is sharded with the same pieces: local half-res restriction, a
+1-plane-halo gradient (exact jnp.gradient edge semantics), six sharded AO
+sweeps, the z-lerp prolongation with a 1-plane coarse halo, and the local
+SH-irradiance combine (render/lightmap_sweep.gi_ambient_from_parts).
+
+Ref capability being scaled: CastLightRay / GetLight,
+FluidX12/Content/Shaders/RayMarch.hlsli:215-295 (shadow + ambient terms).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fluidx12_tpu.core.config import FluidConfig
+from fluidx12_tpu.core.state import SceneParams
+from fluidx12_tpu.ops.transform import transform_vector
+from fluidx12_tpu.parallel.mesh import Z_AXIS
+from fluidx12_tpu.render.raymarch_core import MAX_DIST
+from fluidx12_tpu.render.lightmap_sweep import (
+    _sweep_pooled,
+    directional_transmittance,
+    fallback_normal_dirs,
+    gi_ambient_from_parts,
+)
+
+
+def _mxu():
+    from fluidx12_tpu.render.slicecomp import _mxu16
+
+    return _mxu16()
+
+
+def _pool_mats(n_m: int, n_s: int, stride: int, dtype, flip: bool):
+    """(pool (n_m, n_s), up (n_s, n_m)) with light-to-far flip folded in."""
+    pool = jnp.zeros((n_m, n_s), dtype).at[
+        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
+    ].set(1.0 / stride)
+    up = jnp.zeros((n_s, n_m), dtype).at[
+        jnp.repeat(jnp.arange(n_s), stride), jnp.arange(n_s * stride)
+    ].set(1.0)
+    if n_s * stride < n_m:  # tail voxels extend the last group
+        up = up.at[n_s - 1, n_s * stride:].set(1.0)
+    if flip:
+        pool = pool[:, ::-1]
+        up = up[::-1]
+    return pool, up
+
+
+def _axis_ok(n_m: int, zl: int, is_z: bool, n_dev: int, max_slices: int) -> bool:
+    stride = max(-(-n_m // max_slices), 1)
+    n_s = n_m // stride
+    # z-major: local slice groups must align with shard boundaries;
+    # lateral-major: the slice count must split evenly for the all_to_all.
+    return (zl % stride == 0) if is_z else (n_s % n_dev == 0)
+
+
+def sharded_light_supported(config: FluidConfig, n_dev: int) -> bool:
+    """The sharded light map decomposes for this grid/mesh: the main
+    sweep's (host-static) major axis and the AO z-sweeps all tile."""
+    zg, y, x = config.zyx
+    if zg % n_dev:
+        return False
+    if config.point_light:
+        # The projective point sweep is not decomposed yet; the fallback
+        # replicated sweep handles it (render_light_map_fast).
+        return False
+    zl = zg // n_dev
+    lp = np.asarray(config.light_pos, np.float32)
+    major = int(np.argmax(np.abs(lp)))
+    sizes = (x, y, zg)
+    ok = _axis_ok(sizes[major], zl, major == 2, n_dev, 128)
+    if config.has_light_probe:
+        half = (zl % 2 == 0 and zl >= 2
+                and all(v % 2 == 0 and v >= 32 for v in (zg, y, x)))
+        hz, hzl = (zg // 2, zl // 2) if half else (zg, zl)
+        ok = ok and _axis_ok(hz, hzl, True, n_dev, 64)
+    return ok
+
+
+def sharded_directional_transmittance(
+    dens_local: jax.Array,    # (zl, Y, X) local Z-slab, inside shard_map
+    light_dir: jax.Array,     # (3,) unit, local space
+    major_axis: int,          # static 0/1/2
+    ref_step: jax.Array,
+    absorption: float,
+    flip: bool,               # static sign of light_dir[major_axis]
+    zero_slope: bool = False,  # static: light axis-aligned (AO sweeps)
+    max_slices: int = 128,
+) -> jax.Array:
+    """Per-voxel transmittance toward the light on a Z-sharded density;
+    returns the local (zl, Y, X) slab.  See the module docstring for the
+    decomposition per major axis."""
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    dtype = dens_local.dtype
+    zl, y, x = dens_local.shape
+    zg = zl * n
+    sizes = (x, y, zg)
+    n_m = sizes[major_axis]
+    stride = max(-(-n_m // max_slices), 1)
+    n_s = n_m // stride
+    mx = _mxu()
+
+    if major_axis != 2 and zero_slope:
+        # Axis-aligned lateral sweep: no Z mixing; plain local sweep.
+        return directional_transmittance(
+            dens_local, light_dir, major_axis, ref_step, absorption,
+            flip=flip, max_slices=max_slices)
+
+    def prefix_fn(k0):
+        def fn(slab_sum):
+            sums = jax.lax.all_gather(slab_sum, Z_AXIS)   # (n, W_a, W_b)
+            k0_all = _k0_of(jnp.arange(n))
+            mask = (k0_all < k0).astype(sums.dtype)[:, None, None]
+            return (sums * mask).sum(axis=0)
+
+        return fn
+
+    if major_axis == 2:
+        # Slab-local slices: pool my zl rows into my m_l flipped slices.
+        m_l = zl // stride
+        pool, up = _pool_mats(zl, m_l, stride, dtype, flip)
+
+        def _k0_of(j):
+            # flip is trace-time static: slice 0 is nearest the light.
+            return (n_s - (j + 1) * m_l) if flip else j * m_l
+
+        dens_o = jnp.einsum("zyx,zm->myx", dens_local.astype(mx),
+                            pool.astype(mx),
+                            preferred_element_type=jnp.float32).astype(dtype)
+        k0 = _k0_of(idx)
+        transm = _sweep_pooled(
+            dens_o, light_dir, major_axis, sizes, stride, ref_step,
+            absorption, k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
+            prefix_fn=prefix_fn(k0))
+        return jnp.einsum("myx,mz->zyx", transm.astype(mx), up.astype(mx),
+                          preferred_element_type=jnp.float32).astype(dtype)
+
+    # Lateral-major sweep with slope: reshard pooled slices via all_to_all.
+    m_l = n_s // n
+    pool, up = _pool_mats(n_m, n_s, stride, dtype, flip)
+    eq = {0: "zyx,xm->mzy", 1: "zyx,ym->mzx"}[major_axis]
+    dens_o = jnp.einsum(eq, dens_local.astype(mx), pool.astype(mx),
+                        preferred_element_type=jnp.float32).astype(dtype)
+    # (n_s, zl, lat) -> (m_l, zg, lat): slice-sharded, z complete.
+    dens_o = jax.lax.all_to_all(dens_o, Z_AXIS, split_axis=0, concat_axis=1,
+                                tiled=True)
+
+    def _k0_of(j):
+        return j * m_l
+
+    k0 = _k0_of(idx)
+    transm = _sweep_pooled(
+        dens_o, light_dir, major_axis, sizes, stride, ref_step, absorption,
+        k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
+        prefix_fn=prefix_fn(k0))
+    # (m_l, zg, lat) -> (n_s, zl, lat) and unpool locally.
+    transm = jax.lax.all_to_all(transm, Z_AXIS, split_axis=1, concat_axis=0,
+                                tiled=True)
+    eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx"}[major_axis]
+    return jnp.einsum(eq_up, transm.astype(mx), up.astype(mx),
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _exchange_plane(f: jax.Array, axis: int = 0):
+    """(lower, upper) single-plane z-neighbors (edge-clamped globally)."""
+    from fluidx12_tpu.parallel.domain import _exchange_z_halo
+
+    ext = _exchange_z_halo(f, 1, axis=axis)
+    lo = jax.lax.index_in_dim(ext, 0, axis=axis, keepdims=True)
+    hi = jax.lax.index_in_dim(ext, ext.shape[axis] - 1, axis=axis,
+                              keepdims=True)
+    return lo, hi
+
+
+def _sharded_gradient(f: jax.Array):
+    """(gz, gy, gx) with jnp.gradient's exact semantics on a Z-sharded
+    field: central differences inside, one-sided FULL differences at the
+    GLOBAL z edges; x/y are local."""
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    zl = f.shape[0]
+    gy = jnp.gradient(f, axis=1)
+    gx = jnp.gradient(f, axis=2)
+    lo, hi = _exchange_plane(f, axis=0)
+    zm = jnp.concatenate([lo, f[:-1]], axis=0)
+    zp = jnp.concatenate([f[1:], hi], axis=0)
+    gz = 0.5 * (zp - zm)
+    # Global edge planes: clamped halo makes the diff half the one-sided
+    # full difference jnp.gradient uses; double it there.
+    gids = jnp.arange(zl)[:, None, None] + idx * zl
+    edge = (gids == 0) | (gids == n * zl - 1)
+    return jnp.where(edge, 2.0 * gz, gz), gy, gx
+
+
+def _sharded_restrict(f: jax.Array) -> jax.Array:
+    """Local 2x box restriction (z pairs stay within a shard; caller
+    guarantees even local z)."""
+    from fluidx12_tpu.sim.mg import _restrict
+
+    return _restrict(f)
+
+
+def _sharded_prolong(e: jax.Array) -> jax.Array:
+    """2x trilinear prolongation; the z lerp needs the +-1 coarse neighbor
+    planes from adjacent shards (same scheme as parallel/domain._sharded_mg)."""
+    from fluidx12_tpu.sim.mg import _prolong_matrix
+
+    zl, ny, nx = e.shape
+    e = jnp.einsum("zyx,xm->zym", e, jnp.asarray(_prolong_matrix(nx), e.dtype))
+    e = jnp.einsum("zym,yn->znm", e, jnp.asarray(_prolong_matrix(ny), e.dtype))
+    lo, hi = _exchange_plane(e, axis=0)
+    even = 0.25 * jnp.concatenate([lo, e[:-1]], axis=0) + 0.75 * e
+    odd = 0.75 * e + 0.25 * jnp.concatenate([e[1:], hi], axis=0)
+    return jnp.stack([even, odd], axis=1).reshape(2 * zl, 2 * ny, 2 * nx)
+
+
+_AXIS_SWEEPS = [(0, +1), (0, -1), (1, +1), (1, -1), (2, +1), (2, -1)]
+
+
+def _sharded_ambient_occlusion(density, nx_, ny_, nz_, ref_step,
+                               config: FluidConfig):
+    """Sharded twin of lightmap_sweep._ambient_occlusion: 6 axis-aligned
+    sweeps blended by the gradient direction, at half resolution when the
+    local slab allows (zl even and all dims >= 32 globally)."""
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    dtype = density.dtype
+    zl, y, x = density.shape
+    zg = zl * n
+    half = (zl % 2 == 0 and zl >= 2
+            and all(v % 2 == 0 and v >= 32 for v in (zg, y, x)))
+    if half:
+        dens_s = _sharded_restrict(density.astype(jnp.float32)).astype(dtype)
+        gz, gy, gx = _sharded_gradient(dens_s)
+        cx, cy, cz = fallback_normal_dirs(
+            gx, gy, gz, dtype, z0=idx * (zl // 2), zg=zg // 2)
+    else:
+        dens_s = density
+        cx, cy, cz = nx_, ny_, nz_
+
+    sweeps = []
+    for ax, sgn in _AXIS_SWEEPS:
+        d6 = jnp.zeros(3, dtype).at[ax].set(float(sgn))
+        sweeps.append(sharded_directional_transmittance(
+            dens_s, d6, ax, ref_step, config.absorption, flip=sgn > 0,
+            zero_slope=True, max_slices=64))
+    comp = [jnp.maximum(cx, 0.0), jnp.maximum(-cx, 0.0),
+            jnp.maximum(cy, 0.0), jnp.maximum(-cy, 0.0),
+            jnp.maximum(cz, 0.0), jnp.maximum(-cz, 0.0)]
+    total = jnp.maximum(sum(comp), 1e-8)
+    ao = sum(s * c for s, c in zip(sweeps, comp)) / total
+    if half:
+        ao = _sharded_prolong(ao.astype(jnp.float32)).astype(dtype)
+    return ao
+
+
+def sharded_light_map(
+    grid_local: jax.Array,    # (4, zl, Y, X) local slab, inside shard_map
+    params: SceneParams,
+    config: FluidConfig,
+    sh_coeffs: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fully sharded twin of render_light_map_fast: returns the local
+    (3, zl, Y, X) light-map slab.  Per-frame comm is O(face area) planes
+    and two pooled-volume all_to_alls -- no density all-gather."""
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    dtype = config.render_dtype
+    density = grid_local[3].astype(dtype)
+    zl = density.shape[0]
+
+    local_light = transform_vector(params.light_pt, params.world_i)
+    light_dir = (local_light / jnp.linalg.norm(local_light)).astype(dtype)
+    lp = np.asarray(config.light_pos, np.float32)
+    major_axis = int(np.argmax(np.abs(lp)))
+    flip = bool(lp[major_axis] > 0)
+
+    ref_step = MAX_DIST / params.num_light_samples.astype(dtype)
+    shadow = sharded_directional_transmittance(
+        density, light_dir, major_axis, ref_step, config.absorption, flip)
+
+    env3 = (params.light_color[:3] * params.light_color[3])[:, None, None, None]
+    dense = density >= config.zero_threshold
+    shadow = jnp.where(dense, shadow, 1.0)
+
+    if config.has_light_probe and sh_coeffs is not None:
+        gz, gy, gx = _sharded_gradient(density)
+        nx_, ny_, nz_ = fallback_normal_dirs(
+            gx, gy, gz, dtype, z0=idx * zl, zg=zl * n)
+        ao = _sharded_ambient_occlusion(density, nx_, ny_, nz_, ref_step,
+                                        config)
+        ambient = gi_ambient_from_parts(
+            dense, nx_, ny_, nz_, ao, sh_coeffs, params.world[:3, :3], dtype)
+    else:
+        ambient = (params.ambient[:3] * params.ambient[3])[:, None, None, None]
+
+    return (env3 * shadow[None] + ambient).astype(dtype)

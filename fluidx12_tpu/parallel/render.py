@@ -4,11 +4,11 @@ Decomposition (SURVEY.md section 5.7 -- the rendering analog of ring
 attention), replacing round 1's full-volume all-gather (O(N^3) ICI bytes and
 O(N^3) per-device memory every frame):
 
-- **light map**: the directional sweep toward a tilted light mixes Z rows
-  laterally (rays spread across slabs), so it cannot be slab-local; instead
-  only the 1-channel DENSITY is all-gathered (bf16: 1/14th of the round-1
-  volume gather) and the sweep runs replicated; each shard keeps its own
-  Z-slab of the result.  GI ambient (probe) is not yet sharded.
+- **light map + GI**: fully decomposed sweeps (parallel/light.py): shard-
+  local shear work with an exclusive prefix of per-shard optical-depth
+  planes (z-major) or a pooled-volume all_to_all reshard (lateral-major);
+  GI gradient/AO/irradiance run shard-local with 1-plane halos.  No
+  density all-gather (a small-shape fallback keeps the replicated sweep).
 
 - **Z-axis cube faces (+Z/-Z)**: the march slices along Z, so each shard
   composites its own contiguous slice block locally (1/n of the work) and
@@ -23,9 +23,9 @@ O(N^3) per-device memory every frame):
   The second resample + compositing are replicated (tiny: one einsum + an
   (n_s, R, R) cumprod).
 
-Per-frame ICI traffic at 256^3 / 8 devices: density gather 33 MB + 2 psums
-x 33 MB + 2 image gathers x 2.5 MB ~= 105 MB, vs 470 MB gathered -- and
-per-device memory stays O(N^3/n) + one density-sized temp.
+Per-frame ICI traffic at 256^3 / 8 devices: light prefix planes + 2 pooled
+all_to_alls ~4 MB + 2 psums x 33 MB + 2 image gathers x 2.5 MB ~= 75 MB,
+vs 470 MB gathered -- per-device compute AND memory stay O(N^3/n).
 """
 
 from __future__ import annotations
@@ -59,8 +59,14 @@ def sharded_render_frame(
     params: SceneParams,
     config: FluidConfig,
     mesh: Mesh,
+    sh_coeffs: jax.Array = None,
 ) -> jax.Array:
     """Render the (H, W, 4) premultiplied frame from a Z-sharded grid."""
+    from fluidx12_tpu.parallel.light import (
+        sharded_light_map,
+        sharded_light_supported,
+    )
+
     x, y, z = config.grid_size
     sizes = (x, y, z)
     cap = max(config.max_ray_samples, 1)
@@ -69,8 +75,10 @@ def sharded_render_frame(
     zl = z // n_dev
     # Z faces slice-parallelize only when shard boundaries align with pooled
     # slice groups; tiny/odd shapes keep the simple gathered fallback.
+    # The light sweep itself decomposes under its own (stricter) predicate.
+    light_sharded = sharded_light_supported(config, n_dev)
     if zl % strides[2] or zl < strides[2]:
-        return _gathered_render_frame(grid, params, config, mesh)
+        return _gathered_render_frame(grid, params, config, mesh, sh_coeffs)
 
     @functools.partial(
         jax.shard_map,
@@ -86,14 +94,21 @@ def sharded_render_frame(
         mx = _mxu16()
         local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
 
-        # Light map from the gathered density (1 channel; the sweep's shear
-        # mixes Z rows, so it cannot run slab-local); keep my slab only.
-        dens_full = jax.lax.all_gather(
-            grid_local[3:4].astype(mx), Z_AXIS, axis=1, tiled=True)
-        light_full = render_light_map_fast(
-            dens_full.astype(dtype), params, config, None)
-        light_local = jax.lax.dynamic_slice_in_dim(
-            light_full, idx * zl, zl, axis=1)
+        if light_sharded:
+            # Fully decomposed sweep + GI (parallel/light.py): per-device
+            # compute is O(N^3/n) and comm is prefix planes + two pooled
+            # all_to_alls -- no density all-gather.
+            light_local = sharded_light_map(grid_local, params, config,
+                                            sh_coeffs)
+        else:
+            # Fallback for shapes the sweep cannot decompose: gather the
+            # 1-channel density and run the sweep replicated.
+            dens_full = jax.lax.all_gather(
+                grid_local[3:4].astype(mx), Z_AXIS, axis=1, tiled=True)
+            light_full = render_light_map_fast(
+                dens_full.astype(dtype), params, config, sh_coeffs)
+            light_local = jax.lax.dynamic_slice_in_dim(
+                light_full, idx * zl, zl, axis=1)
 
         # March channels: density + premultiplied rgb * light (see slicecomp).
         vol = jnp.concatenate(
@@ -149,7 +164,7 @@ def sharded_render_frame(
     return render(grid)
 
 
-def _gathered_render_frame(grid, params, config, mesh):
+def _gathered_render_frame(grid, params, config, mesh, sh_coeffs=None):
     """Fallback: all-gather the volume and render face-parallel (round-1
     scheme); used only when shard boundaries don't align with slice pools."""
 
@@ -166,7 +181,7 @@ def _gathered_render_frame(grid, params, config, mesh):
         n = jax.lax.axis_size(Z_AXIS)
         idx = jax.lax.axis_index(Z_AXIS)
         grid_full = jax.lax.all_gather(grid_local, Z_AXIS, axis=1, tiled=True)
-        light_map = render_light_map_fast(grid_full, params, config, None)
+        light_map = render_light_map_fast(grid_full, params, config, sh_coeffs)
         dtype = config.render_dtype
         local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
         vol = jnp.concatenate(

@@ -56,6 +56,243 @@ def _resample_weights(coords: jax.Array, n_src: int) -> jax.Array:
     return m0 * ((1.0 - frac) * in0)[..., None] + m1 * (frac * in1)[..., None]
 
 
+def _sweep_pooled(
+    dens_o: jax.Array,        # (m_l, n_a, n_b) pooled, light-to-far ordered
+    light_dir: jax.Array,     # (3,) unit, local space
+    major_axis: int,          # static 0/1/2
+    sizes,                    # GLOBAL grid sizes (x, y, z)
+    stride: int,
+    ref_step: jax.Array,
+    absorption: float,
+    k_ids: jax.Array,         # (m_l,) GLOBAL flipped slice indices (f32)
+    prefix_fn=None,           # callable(slab_sum (W_a, W_b)) -> prefix
+):
+    """Shear -> exclusive-cumsum -> unshear on an already pooled slice-major
+    block.  The single-device sweep passes k_ids = arange(n_s) and no
+    prefix_fn; the Z-sharded sweep (parallel/light.py) passes its shard's
+    global slice indices and a prefix_fn that turns this shard's total
+    sheared optical depth into the exclusive sum over earlier shards (one
+    collective over (W_a, W_b) planes) -- the cumsum analog of the sharded
+    march's OVER composition.  Returns transm (m_l, n_a, n_b).
+
+    Derivation (see directional_transmittance): voxel at slice k, lateral p
+    needs D[k, p] = sum_{j<k} logA[j, p + (k - j) * slope]; in the sheared
+    coordinate w = p + k*slope + pad this is an exclusive cumsum over
+    slices, and the cross-shard term is just the sum over earlier shards'
+    slices evaluated in the SAME sheared frame -- so a (W_a, W_b) plane is
+    all that crosses shard boundaries.
+    """
+    dtype = dens_o.dtype
+    arr_to_local = {0: 2, 1: 1, 2: 0}
+    arr_axis = arr_to_local[major_axis]
+    n_m = sizes[major_axis]
+    rem = [a for a in (0, 1, 2) if a != arr_axis]
+    rem_local = [arr_to_local[a] for a in rem]
+
+    l_m = light_dir[major_axis]
+    n_a = dens_o.shape[1]
+    n_b = dens_o.shape[2]
+    step_m_local = 2.0 * stride / n_m
+    abs_lm = jnp.maximum(jnp.abs(l_m), 0.35)  # major axis => >= 1/sqrt(3)
+    # Lateral slope per slice step, in voxels of each remaining dim.
+    slope_a = light_dir[rem_local[0]] / l_m * step_m_local * (sizes[rem_local[0]] / 2.0)
+    slope_b = light_dir[rem_local[1]] / l_m * step_m_local * (sizes[rem_local[1]] / 2.0)
+    step_len = step_m_local / abs_lm
+
+    n_steps = step_len / ref_step
+    att = jnp.clip(1.0 - dens_o * absorption, 1e-6, 1.0)
+    log_att = jnp.log(att) * n_steps
+
+    # |slope| <= n_lat/n_m_pooled over the whole GLOBAL sweep, so k*slope
+    # spans at most n_lat: W = 2*n_lat suffices with a sign-dependent pad.
+    W_a = 2 * n_a
+    W_b = 2 * n_b
+    pad_a = jnp.where(slope_a < 0, jnp.asarray(n_a, dtype), 0.0)
+    pad_b = jnp.where(slope_b < 0, jnp.asarray(n_b, dtype), 0.0)
+
+    k = k_ids.astype(dtype)
+
+    wa = jnp.arange(W_a, dtype=dtype)
+    wb = jnp.arange(W_b, dtype=dtype)
+    # Shear weights: G[j, w] = logA[j, w - pad - j*slope].
+    sc_a = wa[None, :] - pad_a - k[:, None] * slope_a        # (m_l, W_a)
+    sc_b = wb[None, :] - pad_b - k[:, None] * slope_b
+    sw_a = _resample_weights(sc_a, n_a)                      # (m_l, W_a, n_a)
+    sw_b = _resample_weights(sc_b, n_b)
+    sheared = jnp.einsum("kwa,kab->kwb", sw_a, log_att)
+    sheared = jnp.einsum("kvb,kwb->kwv", sw_b, sheared)  # (m_l, W_a, W_b)
+
+    excl = jnp.cumsum(sheared, axis=0) - sheared  # exclusive: own slice out
+    # (CastLightRay's first sample is one step beyond the voxel,
+    # RayMarch.hlsli:227-229.)
+    if prefix_fn is not None:
+        excl = excl + prefix_fn(sheared.sum(axis=0))[None]
+
+    # Unshear: D[k, p] = E[k, p + pad + k*slope].
+    pa = jnp.arange(n_a, dtype=dtype)
+    pb = jnp.arange(n_b, dtype=dtype)
+    uc_a = pa[None, :] + pad_a + k[:, None] * slope_a        # (m_l, n_a)
+    uc_b = pb[None, :] + pad_b + k[:, None] * slope_b
+    uw_a = _resample_weights(uc_a, W_a)                      # (m_l, n_a, W_a)
+    uw_b = _resample_weights(uc_b, W_b)
+    out = jnp.einsum("kaw,kwv->kav", uw_a, excl)
+    log_t = jnp.einsum("kbv,kav->kab", uw_b, out)
+
+    return jnp.exp(jnp.minimum(log_t, 0.0))
+
+
+def _sweep_pooled_point(
+    dens_o: jax.Array,        # (n_s, n_a, n_b) pooled, light-to-far ordered
+    light_local: jax.Array,   # (3,) local-space light POSITION (x, y, z)
+    major_axis: int,
+    sizes,                    # grid sizes (x, y, z)
+    stride: int,
+    ref_step: jax.Array,
+    absorption: float,
+    flip: bool,               # static; light on the + side of the major axis
+):
+    """Projective (point-light) shear sweep on a pooled slice-major block.
+
+    The directional sweep's shear generalizes to a point light by
+    parametrizing rays with their lateral SLOPE w = (p - pL)/(k - kL)
+    (pL/kL = light position in slice/lateral index coordinates): every ray
+    from the light has constant w, slice j contributes at the per-slice
+    AFFINE coordinate q = pL + w*(j - kL), and the accumulated optical
+    depth is again an exclusive cumsum over slices in the w frame --
+    the projective analog of `shear -> cumsum -> unshear`, with a per-ray
+    step-length factor sqrt(1 + |lateral slope|^2) applied post-shear
+    (it is constant along a ray but varies across rays).
+
+    Requires the light OUTSIDE the volume on the near side of the sweep
+    (kL < 0 after the flip; point_sweep_supported gates this), so every
+    slice denominator k - kL is positive and bounded away from zero.
+    Ref: the dormant `_POINT_LIGHT_` mode, RayMarch.hlsli:40,
+    CSRayMarch.hlsl:131 (per-voxel direction normalize(light - pos)).
+    """
+    dtype = dens_o.dtype
+    arr_to_local = {0: 2, 1: 1, 2: 0}
+    arr_axis = arr_to_local[major_axis]
+    rem = [a for a in (0, 1, 2) if a != arr_axis]
+    rem_local = [arr_to_local[a] for a in rem]
+    n_m = sizes[major_axis]
+    n_s, n_a, n_b = dens_o.shape
+    step_m = 2.0 * stride / n_m
+
+    l_m = light_local[major_axis].astype(dtype)
+    l_a = light_local[rem_local[0]].astype(dtype)
+    l_b = light_local[rem_local[1]].astype(dtype)
+    # Light in slice/lateral index coordinates (slice 0 nearest the light).
+    s_l = (l_m + 1.0) * 0.5 * n_s - 0.5
+    k_l = (n_s - 1.0 - s_l) if flip else s_l
+    k_l = jnp.minimum(k_l, -0.5)  # guarded by point_sweep_supported
+    pl_a = (l_a + 1.0) * 0.5 * n_a - 0.5
+    pl_b = (l_b + 1.0) * 0.5 * n_b - 0.5
+
+    k = jnp.arange(n_s, dtype=dtype)
+    denom = k - k_l               # > 0.5 for every slice
+    d0 = -k_l                     # smallest denominator (slice 0)
+
+    # w grids spanning every voxel-ray slope; widest at slice 0.
+    W_a = 2 * n_a
+    W_b = 2 * n_b
+    wa_min = (0.0 - pl_a) / d0
+    wa_max = (n_a - 1.0 - pl_a) / d0
+    wb_min = (0.0 - pl_b) / d0
+    wb_max = (n_b - 1.0 - pl_b) / d0
+    dwa = (wa_max - wa_min) / (W_a - 1)
+    dwb = (wb_max - wb_min) / (W_b - 1)
+    wa = wa_min + jnp.arange(W_a, dtype=dtype) * dwa
+    wb = wb_min + jnp.arange(W_b, dtype=dtype) * dwb
+
+    att = jnp.clip(1.0 - dens_o * absorption, 1e-6, 1.0)
+    log_att = jnp.log(att)
+
+    # Shear: G[j, w] = logA[j, pL + w * (j - kL)].
+    sc_a = pl_a + wa[None, :] * denom[:, None]               # (n_s, W_a)
+    sc_b = pl_b + wb[None, :] * denom[:, None]
+    sw_a = _resample_weights(sc_a, n_a)
+    sw_b = _resample_weights(sc_b, n_b)
+    sheared = jnp.einsum("kwa,kab->kwb", sw_a, log_att)
+    sheared = jnp.einsum("kvb,kwb->kwv", sw_b, sheared)      # (n_s, W_a, W_b)
+
+    # Per-ray samples-per-slice factor: local tangent per slice step is
+    # (step_m, w_a * 2/n_a, w_b * 2/n_b).
+    ds = jnp.sqrt(step_m * step_m
+                  + (wa * (2.0 / n_a))[:, None] ** 2
+                  + (wb * (2.0 / n_b))[None, :] ** 2)
+    sheared = sheared * (ds / ref_step)[None]
+
+    excl = jnp.cumsum(sheared, axis=0) - sheared
+
+    # Unshear: D[k, p] = E[k, (p - pL)/(k - kL) mapped onto the w grid].
+    pa = jnp.arange(n_a, dtype=dtype)
+    pb = jnp.arange(n_b, dtype=dtype)
+    uc_a = ((pa[None, :] - pl_a) / denom[:, None] - wa_min) / dwa
+    uc_b = ((pb[None, :] - pl_b) / denom[:, None] - wb_min) / dwb
+    uw_a = _resample_weights(uc_a, W_a)
+    uw_b = _resample_weights(uc_b, W_b)
+    out = jnp.einsum("kaw,kwv->kav", uw_a, excl)
+    log_t = jnp.einsum("kbv,kav->kab", uw_b, out)
+    return jnp.exp(jnp.minimum(log_t, 0.0))
+
+
+def point_sweep_supported(config: FluidConfig) -> bool:
+    """The fast point sweep needs the light strictly outside the volume
+    along its dominant axis (projective slice denominators stay positive);
+    host-static from the config's fixed light."""
+    lp = np.asarray(config.light_pos, np.float32)
+    major = int(np.argmax(np.abs(lp)))
+    return abs(float(lp[major])) / config.volume_scale > 1.1
+
+
+def point_transmittance(
+    density: jax.Array,       # (Z, Y, X)
+    light_local: jax.Array,   # (3,) local-space light position
+    major_axis: int,
+    ref_step: jax.Array,
+    absorption: float,
+    flip: bool,
+    max_slices: int = 128,
+) -> jax.Array:
+    """Per-voxel transmittance toward a POINT light; returns (Z, Y, X).
+    Pool/unpool mirror directional_transmittance; the core is the
+    projective sweep (_sweep_pooled_point)."""
+    dtype = density.dtype
+    z, y, x = density.shape
+    sizes = (x, y, z)
+    arr_axis = {0: 2, 1: 1, 2: 0}[major_axis]
+    n_m = sizes[major_axis]
+
+    stride = max(-(-n_m // max_slices), 1)
+    n_s = n_m // stride
+    pool = jnp.zeros((n_m, n_s), dtype).at[
+        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
+    ].set(1.0 / stride)
+    if flip:
+        pool = pool[:, ::-1]
+    from fluidx12_tpu.render.slicecomp import _mxu16
+
+    mx = _mxu16()
+    eq = {0: "zyx,xm->mzy", 1: "zyx,ym->mzx", 2: "zyx,zm->myx"}[major_axis]
+    dens_o = jnp.einsum(eq, density.astype(mx), pool.astype(mx),
+                        preferred_element_type=jnp.float32).astype(dtype)
+
+    transm = _sweep_pooled_point(
+        dens_o, light_local, major_axis, sizes, stride, ref_step,
+        absorption, flip)
+
+    up = jnp.zeros((n_s, n_m), dtype).at[
+        jnp.repeat(jnp.arange(n_s), stride), jnp.arange(n_s * stride)
+    ].set(1.0)
+    if n_s * stride < n_m:
+        up = up.at[n_s - 1, n_s * stride:].set(1.0)
+    if flip:
+        up = up[::-1]
+    eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx", 2: "myx,mz->zyx"}[major_axis]
+    return jnp.einsum(eq_up, transm.astype(mx), up.astype(mx),
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
 def directional_transmittance(
     density: jax.Array,       # (Z, Y, X)
     light_dir: jax.Array,     # (3,) unit, local space (x, y, z components)
@@ -82,12 +319,7 @@ def directional_transmittance(
     sizes = (x, y, z)
     arr_axis = {0: 2, 1: 1, 2: 0}[major_axis]
     n_m = sizes[major_axis]
-    rem = [a for a in (0, 1, 2) if a != arr_axis]
-    arr_to_local = {0: 2, 1: 1, 2: 0}
-    rem_local = [arr_to_local[a] for a in rem]
-
-    l_m = light_dir[major_axis]
-    sign_pos = l_m > 0
+    sign_pos = light_dir[major_axis] > 0
 
     # Cap sweep slices at 2x the light-sample budget (the reference uses at
     # most max_light_samples = 64 shadow samples per ray; the sweep's native
@@ -111,62 +343,10 @@ def directional_transmittance(
                         preferred_element_type=jnp.float32).astype(dtype)
     if flip is None:
         dens_o = jnp.where(sign_pos, dens_o[::-1], dens_o)
-    n_m_sw = n_s
 
-    n_a = dens_o.shape[1]
-    n_b = dens_o.shape[2]
-    step_m_local = 2.0 * stride / n_m
-    abs_lm = jnp.maximum(jnp.abs(l_m), 0.35)  # major axis => >= 1/sqrt(3)
-    # Lateral slope per slice step, in voxels of each remaining dim.  The
-    # ray from slice k toward the light crosses slice j (< k) at lateral
-    # offset (k - j) * slope.
-    slope_a = light_dir[rem_local[0]] / l_m * step_m_local * (sizes[rem_local[0]] / 2.0)
-    slope_b = light_dir[rem_local[1]] / l_m * step_m_local * (sizes[rem_local[1]] / 2.0)
-    step_len = step_m_local / abs_lm
-
-    n_steps = step_len / ref_step
-    att = jnp.clip(1.0 - dens_o * absorption, 1e-6, 1.0)
-    log_att = jnp.log(att) * n_steps
-
-    # Derivation.  Voxel at slice k, lateral p needs
-    #     D[k, p] = sum_{j<k} logA[j, p + (k - j) * slope].
-    # In the sheared coordinate w = p + k*slope + pad this becomes
-    #     D[k, p] = sum_{j<k} G[j, w],  G[j, w] = logA[j, w - pad - j*slope]
-    # i.e. shear -> exclusive cumsum over slices -> unshear.  |slope| <=
-    # n_lat/n_m (major axis), so k*slope spans at most n_lat: W = 2*n_lat
-    # suffices with a sign-dependent pad.
-    W_a = 2 * n_a
-    W_b = 2 * n_b
-    pad_a = jnp.where(slope_a < 0, jnp.asarray(n_a, dtype), 0.0)
-    pad_b = jnp.where(slope_b < 0, jnp.asarray(n_b, dtype), 0.0)
-
-    k = jnp.arange(n_m_sw, dtype=dtype)
-
-    wa = jnp.arange(W_a, dtype=dtype)
-    wb = jnp.arange(W_b, dtype=dtype)
-    # Shear weights: G[j, w] = logA[j, w - pad - j*slope].
-    sc_a = wa[None, :] - pad_a - k[:, None] * slope_a        # (n_m, W_a)
-    sc_b = wb[None, :] - pad_b - k[:, None] * slope_b
-    sw_a = _resample_weights(sc_a, n_a)                      # (n_m, W_a, n_a)
-    sw_b = _resample_weights(sc_b, n_b)
-    sheared = jnp.einsum("kwa,kab->kwb", sw_a, log_att)
-    sheared = jnp.einsum("kvb,kwb->kwv", sw_b, sheared)  # (n_m, W_a, W_b)
-
-    excl = jnp.cumsum(sheared, axis=0) - sheared  # exclusive: own slice out
-    # (CastLightRay's first sample is one step beyond the voxel,
-    # RayMarch.hlsli:227-229.)
-
-    # Unshear: D[k, p] = E[k, p + pad + k*slope].
-    pa = jnp.arange(n_a, dtype=dtype)
-    pb = jnp.arange(n_b, dtype=dtype)
-    uc_a = pa[None, :] + pad_a + k[:, None] * slope_a        # (n_m, n_a)
-    uc_b = pb[None, :] + pad_b + k[:, None] * slope_b
-    uw_a = _resample_weights(uc_a, W_a)                      # (n_m, n_a, W_a)
-    uw_b = _resample_weights(uc_b, W_b)
-    out = jnp.einsum("kaw,kwv->kav", uw_a, excl)
-    log_t = jnp.einsum("kbv,kav->kab", uw_b, out)
-
-    transm = jnp.exp(jnp.minimum(log_t, 0.0))
+    transm = _sweep_pooled(
+        dens_o, light_dir, major_axis, sizes, stride, ref_step, absorption,
+        k_ids=jnp.arange(n_s, dtype=dtype))
     if flip is not None:
         # Upsample (piecewise-constant within a pooled group -- the shadow
         # is an integral quantity; banding is sub-visual at these strides),
@@ -220,9 +400,22 @@ def render_light_map_fast(
         flip = bool(lp[major_axis] > 0)
 
     ref_step = MAX_DIST / params.num_light_samples.astype(dtype)
-    shadow = directional_transmittance(
-        density, light_dir, major_axis, ref_step, config.absorption, flip=flip
-    )
+    if config.point_light:
+        # Projective sweep about the light position (the reference's
+        # dormant _POINT_LIGHT_ mode at full sweep speed); the engine
+        # gates on point_sweep_supported (light outside the volume).
+        from fluidx12_tpu.ops.transform import transform_point_h
+
+        lp = np.asarray(config.light_pos, np.float32)
+        p_major = int(np.argmax(np.abs(lp)))
+        light_local = transform_point_h(params.light_pt, params.world_i)[:3]
+        shadow = point_transmittance(
+            density, light_local.astype(dtype), p_major, ref_step,
+            config.absorption, flip=bool(lp[p_major] > 0))
+    else:
+        shadow = directional_transmittance(
+            density, light_dir, major_axis, ref_step, config.absorption,
+            flip=flip)
 
     env3 = (params.light_color[:3] * params.light_color[3])[:, None, None, None]
     dense = density >= config.zero_threshold
@@ -254,36 +447,53 @@ def render_light_map_fast(
         # dim to a full (8, 128) tile on TPU, which made this branch ~2x the
         # whole non-GI frame at 256^3 before the relayout was removed.
         gz, gy, gx = _gradient(density, config.use_pallas)
-        nx_, ny_, nz_ = -gx, -gy, -gz
-        norm2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
-        degenerate = norm2 < 1e-16
-        # fall back to radial direction like the reference (RayMarch.hlsli:279)
-        z_n, y_n, x_n = density.shape
-        px = ((jnp.arange(x_n, dtype=dtype) + 0.5) / x_n * 2.0 - 1.0).reshape(1, 1, x_n)
-        py = ((jnp.arange(y_n, dtype=dtype) + 0.5) / y_n * 2.0 - 1.0).reshape(1, y_n, 1)
-        pz = ((jnp.arange(z_n, dtype=dtype) + 0.5) / z_n * 2.0 - 1.0).reshape(z_n, 1, 1)
-        nx_ = jnp.where(degenerate, px, nx_)
-        ny_ = jnp.where(degenerate, py, ny_)
-        nz_ = jnp.where(degenerate, pz, nz_)
-
-        # world rotation (row-vector convention: d_world = d @ W3x3).
-        w3 = params.world[:3, :3]
-        wx = nx_ * w3[0, 0] + ny_ * w3[1, 0] + nz_ * w3[2, 0]
-        wy = nx_ * w3[0, 1] + ny_ * w3[1, 1] + nz_ * w3[2, 1]
-        wz = nx_ * w3[0, 2] + ny_ * w3[1, 2] + nz_ * w3[2, 2]
-        inv = 1.0 / jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-24))
-        from fluidx12_tpu.gi.sh import evaluate_sh_irradiance_planar
-
-        irradiance = evaluate_sh_irradiance_planar(
-            sh_coeffs.astype(dtype), wx * inv, wy * inv, wz * inv)  # (3,Z,Y,X)
+        nx_, ny_, nz_ = fallback_normal_dirs(gx, gy, gz, dtype)
 
         ao = _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config)
-        ambient = jnp.where(dense[None], irradiance * ao[None], 0.0)
+        ambient = gi_ambient_from_parts(
+            dense, nx_, ny_, nz_, ao, sh_coeffs, params.world[:3, :3], dtype)
     else:
         ambient = (params.ambient[:3] * params.ambient[3])[:, None, None, None]
 
     light = env3 * shadow[None] + ambient  # (3, Z, Y, X), never (..., 3)
     return light.astype(dtype)
+
+
+def fallback_normal_dirs(gx, gy, gz, dtype, z0=0, zg=None):
+    """-(grad density) with the reference's radial-direction fallback where
+    the gradient is degenerate (RayMarch.hlsli:279).  z0/zg give the
+    global-z offset/extent when the field is a Z-sharded slab (the radial
+    direction is defined in GLOBAL volume coordinates)."""
+    nx_, ny_, nz_ = -gx, -gy, -gz
+    degenerate = nx_ * nx_ + ny_ * ny_ + nz_ * nz_ < 1e-16
+    z_n, y_n, x_n = gx.shape
+    zg = z_n if zg is None else zg
+    px = ((jnp.arange(x_n, dtype=dtype) + 0.5) / x_n * 2.0 - 1.0).reshape(1, 1, x_n)
+    py = ((jnp.arange(y_n, dtype=dtype) + 0.5) / y_n * 2.0 - 1.0).reshape(1, y_n, 1)
+    pz = ((z0 + jnp.arange(z_n, dtype=dtype) + 0.5) / zg * 2.0 - 1.0).reshape(z_n, 1, 1)
+    return (jnp.where(degenerate, px, nx_),
+            jnp.where(degenerate, py, ny_),
+            jnp.where(degenerate, pz, nz_))
+
+
+def gi_ambient_from_parts(dense, nx_, ny_, nz_, ao, sh_coeffs, world3, dtype):
+    """GI ambient from precomputed parts: world-rotate + normalize the
+    (fallback-resolved) normal direction, evaluate SH irradiance, mask by
+    density and modulate by AO (CSRayMarchL.hlsl:44-79 ambient term).
+
+    Shared by the single-device XLA GI branch and the Z-sharded light map
+    (parallel/light.py), which supplies shard-local parts -- every input
+    here is per-voxel local, so the math needs no communication.
+    """
+    wx = nx_ * world3[0, 0] + ny_ * world3[1, 0] + nz_ * world3[2, 0]
+    wy = nx_ * world3[0, 1] + ny_ * world3[1, 1] + nz_ * world3[2, 1]
+    wz = nx_ * world3[0, 2] + ny_ * world3[1, 2] + nz_ * world3[2, 2]
+    inv = 1.0 / jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-24))
+    from fluidx12_tpu.gi.sh import evaluate_sh_irradiance_planar
+
+    irradiance = evaluate_sh_irradiance_planar(
+        sh_coeffs.astype(dtype), wx * inv, wy * inv, wz * inv)  # (3, ...)
+    return jnp.where(dense[None], irradiance * ao[None], 0.0)
 
 
 def _gradient(density, use_pallas: bool = True):

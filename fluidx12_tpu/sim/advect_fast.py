@@ -84,18 +84,18 @@ def _backtrace_split(both: jax.Array, dt: jax.Array, config: FluidConfig) -> jax
     return sampled
 
 
-def advect_fast(
-    velocity: jax.Array,
-    color: jax.Array,
+def advect_fields_fast(
+    fields: jax.Array,
     time_step: jax.Array,
     config: FluidConfig,
-) -> Tuple[jax.Array, jax.Array]:
-    """Dense-shift advection; same contract as sim/advect.advect.
+) -> jax.Array:
+    """Dense-shift advection of the COMBINED (7, Z, Y, X) state array.
 
     The backtrace runs in `advect_substeps` sub-steps of dt/n: splitting
     error scales with the square of the per-step displacement, so two
     half-steps roughly halve the deviation from direct trilinear sampling at
-    the reference's ~12-voxel CFL.
+    the reference's ~12-voxel CFL.  Operating on the combined array keeps
+    the whole chain concat/split-free (sim/step.py).
     """
     n_sub = max(int(getattr(config, "advect_substeps", 2)), 1)
     dt_full = jnp.asarray(time_step, jnp.float32)
@@ -105,11 +105,11 @@ def advect_fast(
         and config.pallas_advect
         and jax.default_backend() == "tpu"
     )
-    both = jnp.concatenate([velocity, color], axis=0)  # (7, Z, Y, X)
+    both = fields
     if not use_kernel:
         # The XLA twin computes in f32 regardless of storage dtype.
         both = both.astype(jnp.float32)
-    # The Pallas kernels stream blocks in the storage dtype (f16 state =
+    # The Pallas kernels stream blocks in the storage dtype (half state =
     # half the pass DMA) and do all tap arithmetic in f32 in VMEM.
     inkernel_forces = False
     if use_kernel:
@@ -131,7 +131,22 @@ def advect_fast(
         else:
             both = _backtrace_split(both, dt_full / n_sub, config)
     if inkernel_forces:
-        return both[:3], both[3:]
+        return both
     # Forces stream in the storage dtype (f32 register math inside); the
     # result keeps the storage dtype, so the state write needs no extra cast.
-    return apply_impulse_forces(both[:3], both[3:], dt_full, config)
+    vel, col = apply_impulse_forces(both[:3], both[3:], dt_full, config)
+    return jnp.concatenate([vel, col], axis=0)
+
+
+def advect_fast(
+    velocity: jax.Array,
+    color: jax.Array,
+    time_step: jax.Array,
+    config: FluidConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dense-shift advection; same contract as sim/advect.advect (the
+    separate-array convenience wrapper over advect_fields_fast, used by the
+    dual-stack cross-checks)."""
+    both = advect_fields_fast(
+        jnp.concatenate([velocity, color], axis=0), time_step, config)
+    return both[:3], both[3:]

@@ -111,12 +111,17 @@ def boundary_damp(velocity: jax.Array, config: FluidConfig) -> jax.Array:
 
 
 def project(
-    velocity: jax.Array,
+    fields: jax.Array,
     pressure: jax.Array,
     time_step: jax.Array,
     config: FluidConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Full projection pass; identity when time_step == 0 (ref ..hlsl:97 guard)."""
+    """Full projection pass; identity when time_step == 0 (ref ..hlsl:97 guard).
+
+    `fields` is the combined (C >= 3, Z, Y, X) state array whose channels
+    0..2 are velocity; the Pallas path reads/writes the velocity channels
+    in place (no slicing copies), the XLA twins slice and re-concatenate
+    (CPU / unsupported shapes only).  Returns (fields', pressure')."""
     is_3d = config.is_3d
     rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
 
@@ -149,17 +154,19 @@ def project(
         use_mg = y * x > 128 * 128 and mg_supported(config.zyx)
 
     def run(args):
-        vel, q = args
+        flds, q = args
         if use_stencil:
             from fluidx12_tpu.ops.pallas.stencil import (
                 divergence_pallas,
                 grad_damp_pallas,
             )
 
-            # Kernels stream the storage dtype and compute in f32.
-            b = divergence_pallas(vel)
+            # Kernels stream the storage dtype and compute in f32; they
+            # read the velocity channels of the combined array directly.
+            b = divergence_pallas(flds)
         else:
-            b = divergence(vel, is_3d).astype(jnp.float32)
+            # The XLA twin indexes [0]/[1]/[2], so the combined array works.
+            b = divergence(flds, is_3d).astype(jnp.float32)
         if use_j2d:
             from fluidx12_tpu.ops.pallas.jacobi import jacobi2d_pallas
 
@@ -177,13 +184,15 @@ def project(
         else:
             q = jacobi_sweeps(q, b, config.num_pressure_iters, is_3d)
         if use_stencil:
-            vel = grad_damp_pallas(vel, q, rho)
+            flds = grad_damp_pallas(flds, q, rho)
         else:
-            vel = subtract_gradient(vel, q, rho, is_3d)
-            vel = boundary_damp(vel, config)
-        return vel, q
+            vel = subtract_gradient(flds, q, rho, is_3d)
+            vel = boundary_damp(vel, config).astype(flds.dtype)
+            flds = (jnp.concatenate([vel, flds[3:]], axis=0)
+                    if flds.shape[0] > 3 else vel)
+        return flds, q
 
     def skip(args):
         return args
 
-    return jax.lax.cond(time_step > 0.0, run, skip, (velocity, pressure))
+    return jax.lax.cond(time_step > 0.0, run, skip, (fields, pressure))

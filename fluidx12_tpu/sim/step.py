@@ -13,20 +13,27 @@ import jax.numpy as jnp
 from fluidx12_tpu.core.config import FluidConfig
 from fluidx12_tpu.core.state import FluidState
 from fluidx12_tpu.sim.advect import advect
-from fluidx12_tpu.sim.advect_fast import advect_fast
 from fluidx12_tpu.sim.project import project
 
 
 def simulate(state: FluidState, time_step: jax.Array, config: FluidConfig) -> FluidState:
-    """Advect + project.  State storage may be f16 (the reference's RGBA16F
-    textures); all pass arithmetic runs in f32 and results quantize back to
-    the storage dtype once per frame -- the same rounding point as the
-    reference's RGBA16F render-target writes."""
-    store = state.velocity.dtype
-    advect_fn = advect_fast if config.fast_sim else advect
-    # The advect paths manage their own upcasts (the Pallas kernels stream
-    # f16 blocks directly and upcast in VMEM) and return f32.
-    velocity, color = advect_fn(state.velocity, state.color, time_step, config)
-    velocity, pressure = project(velocity, state.pressure, time_step, config)
-    return FluidState(velocity=velocity.astype(store),
-                      color=color.astype(store), pressure=pressure)
+    """Advect + project.  State storage may be half precision (the
+    reference's RGBA16F textures); all pass arithmetic runs in f32 and
+    results quantize back to the storage dtype once per frame -- the same
+    rounding point as the reference's RGBA16F render-target writes.
+
+    The whole step flows through the COMBINED (7, Z, Y, X) state array:
+    advection streams all channels together, and the projection's Pallas
+    kernels read/write the velocity channels in place (channel-pinned
+    BlockSpecs + output aliasing), so no per-step concatenate/split copies
+    exist anywhere on the fast path."""
+    store = state.fields.dtype
+    if config.fast_sim:
+        from fluidx12_tpu.sim.advect_fast import advect_fields_fast
+
+        fields = advect_fields_fast(state.fields, time_step, config)
+    else:
+        velocity, color = advect(state.velocity, state.color, time_step, config)
+        fields = jnp.concatenate([velocity, color], axis=0)
+    fields, pressure = project(fields, state.pressure, time_step, config)
+    return FluidState(fields=fields.astype(store), pressure=pressure)

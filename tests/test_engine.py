@@ -87,8 +87,8 @@ def test_watchdog_recovers_from_nan(tmp_path):
     loop = FrameLoop(engine, show_fps=False, watchdog_every=2, metrics_path=metrics)
     loop.run(4)
     # Corrupt the state and let the watchdog catch it.
-    engine.state = engine.state._replace(
-        color=engine.state.color.at[0, 0, 0, 0].set(jnp.nan)
+    engine.state = engine.state.with_color(
+        engine.state.color.at[0, 0, 0, 0].set(jnp.nan)
     )
     loop.run(4)
     assert loop.recoveries >= 1

@@ -72,6 +72,16 @@ CONFIGS = {
         frames=35,
         radiance="assets/rnl_cross.npz",
     ),
+    # FLAGSHIP: the exact default config bench.py times (128^3 grid, 800^2
+    # viewport, default sample budgets, fast pipeline) -- verifies the
+    # image whose throughput the whole perf story rests on, not just its
+    # speed (the reference's F11-screenshot oracle at full resolution,
+    # FluidX12.cpp:625-660).  bench.py --check replays it on real TPU.
+    "fluid3d_flagship": dict(
+        config=FluidConfig(),
+        method=RenderMethod.RAY_MARCH_SEPARATE,
+        frames=20,
+    ),
 }
 
 
@@ -121,10 +131,23 @@ def test_golden_fluidgi():
     _check("fluidgi")
 
 
+def test_golden_fluid3d_flagship():
+    # ~30+ min of single-core CPU rendering at 128^3/800^2: opt-in for
+    # pytest (the TPU replays this same check cheaply every round via
+    # `bench.py --check`, which is where it guards the benchmarked image).
+    import pytest
+
+    if not os.environ.get("FLUIDX_FULL_GOLDENS"):
+        pytest.skip("flagship golden is checked by bench.py --check on TPU; "
+                    "set FLUIDX_FULL_GOLDENS=1 to render it on CPU")
+    _check("fluid3d_flagship")
+
+
 if __name__ == "__main__":
     if "--regen" in sys.argv:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
-        for name in CONFIGS:
+        names = [a for a in sys.argv[1:] if a in CONFIGS] or list(CONFIGS)
+        for name in names:
             img = render_case(name)
             write_png(_golden_path(name), img)
             print(f"wrote {name}: {img.shape}")

@@ -62,7 +62,7 @@ def test_reference_asset_header_parses():
 def test_checkpoint_roundtrip(tmp_path):
     cfg = FluidConfig(grid_size=(8, 8, 8))
     state = make_initial_state(cfg)
-    state = state._replace(color=state.color + 0.25)
+    state = state.with_color(state.color + 0.25)
     path = str(tmp_path / "s.npz")
     save_state(path, state)
     back = load_state(path)

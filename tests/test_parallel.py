@@ -96,6 +96,74 @@ def test_sharded_render_matches_single_device_image():
         np.asarray(img_sharded), np.asarray(ref), atol=2e-5)
 
 
+def test_sharded_light_map_matches_replicated():
+    """The decomposed sweep (parallel/light.py) must reproduce the
+    single-device render_light_map_fast for both decomposition shapes:
+    lateral-major (all_to_all reshard) and z-major (slab prefix)."""
+    import dataclasses
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from fluidx12_tpu.parallel.light import (
+        sharded_light_map,
+        sharded_light_supported,
+    )
+    from fluidx12_tpu.parallel.mesh import Z_AXIS
+    from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
+    from tests.test_fastpath import _smoke_grid
+    from tests.test_render import scene
+
+    mesh = make_grid_mesh()
+    grid = jnp.asarray(_smoke_grid(32))
+    for light_pos in [(75.0, 75.0, -75.0),   # major = x: all_to_all path
+                      (10.0, 20.0, 75.0)]:   # major = z: slab-prefix path
+        cfg = FluidConfig(grid_size=(32, 32, 32), viewport=(32, 32),
+                          use_pallas=False, light_pos=light_pos)
+        assert sharded_light_supported(cfg, 8), light_pos
+        params = scene(cfg)
+        ref = np.asarray(render_light_map_fast(grid, params, cfg))
+
+        f = functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(None, Z_AXIS, None, None),),
+            out_specs=P(None, Z_AXIS, None, None),
+        )(lambda g: sharded_light_map(g, params, cfg, None))
+        out = np.asarray(jax.jit(f)(grid))
+        np.testing.assert_allclose(out, ref, atol=2e-5, err_msg=str(light_pos))
+
+
+def test_sharded_gi_light_map_matches_replicated():
+    """Sharded GI ambient (gradient + half-res 6-sweep AO + SH irradiance)
+    vs the single-device XLA GI branch."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from fluidx12_tpu.parallel.light import (
+        sharded_light_map,
+        sharded_light_supported,
+    )
+    from fluidx12_tpu.parallel.mesh import Z_AXIS
+    from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
+    from tests.test_fastpath import _smoke_grid
+    from tests.test_render import scene
+
+    mesh = make_grid_mesh()
+    cfg = FluidConfig(grid_size=(32, 32, 32), viewport=(32, 32),
+                      use_pallas=False, has_light_probe=True)
+    assert sharded_light_supported(cfg, 8)
+    grid = jnp.asarray(_smoke_grid(32))
+    params = scene(cfg)
+    rng = np.random.default_rng(3)
+    sh = jnp.asarray(rng.uniform(-0.2, 0.8, (9, 3)).astype(np.float32))
+    ref = np.asarray(render_light_map_fast(grid, params, cfg, sh))
+
+    f = functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, Z_AXIS, None, None), P(None, None)),
+        out_specs=P(None, Z_AXIS, None, None),
+    )(lambda g, s: sharded_light_map(g, params, cfg, s))
+    out = np.asarray(jax.jit(f)(grid, sh))
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
 def test_sharded_mg_matches_single_device():
     """The Z-sharded multigrid V-cycle (parallel/domain._sharded_mg) must
     reproduce the single-device solver (sim/mg.mg_solve): same smoother

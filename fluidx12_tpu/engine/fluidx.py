@@ -226,10 +226,13 @@ class FluidXEngine:
                                                       plane_spec)
         return self._programs[key]
 
-    def _direct_plane_spec(self):
+    def _direct_plane_spec(self, lod: int = 0):
         """Static base-plane geometry for the fast DIRECT methods, or None
         (eye inside the volume / fast path off).  Host math; quantized, so
-        an orbiting camera retraces only at coarse thresholds."""
+        an orbiting camera retraces only at coarse thresholds.  The LOD
+        controller halves the base-plane texel density per mip level --
+        the DIRECT analog of the cube path marching at mip resolution
+        (ref: the LOD-clamped sample count binding, Fluid.cpp:968)."""
         cfg = self.config
         if not (cfg.fast_render and cfg.is_3d):
             return None
@@ -238,7 +241,7 @@ class FluidXEngine:
 
             if not point_sweep_supported(cfg):
                 return None
-        pose = (self.camera.view.tobytes(), self.camera.proj.tobytes())
+        pose = (self.camera.view.tobytes(), self.camera.proj.tobytes(), lod)
         if pose == self._plane_key:
             return self._plane_cache
         from fluidx12_tpu.render.screencomp import direct_plane_spec
@@ -247,14 +250,16 @@ class FluidXEngine:
                      @ self.world_i)[:3]
         wvp = self.world @ self.camera.view_proj
         self._plane_key = pose
-        self._plane_cache = direct_plane_spec(local_eye, wvp, cfg.viewport, cfg)
+        self._plane_cache = direct_plane_spec(
+            local_eye, wvp, cfg.viewport, cfg,
+            density_scale=1.0 / (1 << lod))
         return self._plane_cache
 
     # ------------------------------------------------------------------
     def step_frame(self) -> jax.Array:
         """One full frame; returns the (H, W, 3) float image (device array)."""
         params, lod, vis_mask = self.update_frame()
-        plane_spec = (self._direct_plane_spec()
+        plane_spec = (self._direct_plane_spec(lod)
                       if not self.render_method.uses_cube_map else None)
         program = self._program(self.render_method, lod, vis_mask, plane_spec)
         self.state, image = program(self.state, params, self.sh_coeffs, self.radiance)

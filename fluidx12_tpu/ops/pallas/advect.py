@@ -4,16 +4,22 @@ The XLA form (sim/advect_fast.py) emits ~26 separate pad+multiply kernels per
 axis pass, re-reading the 7-channel volume each time (~18 ms at 128^3).
 These kernels keep a block in VMEM and evaluate all taps as vector rolls.
 
-Structure (sized for Mosaic's 16 MB scoped-VMEM stack: each tap's rolled
-temporary stays live, so blocks must be small):
+Structure (round 3):
 
-- one single-axis kernel, instantiated per pass; grid is (channel, z-slab)
-  with slab = 4, so 26 tap temporaries cost ~7 MB,
-- displacements are computed in XLA between passes (cheap elementwise) and
-  fed as a second input: pass x uses u_x, pass y the x-advected u_y, pass z
-  the xy-advected u_z (path-following splitting, same as the XLA twin),
-- the y pass rolls sublanes; the z pass transposes z onto the lane axis
-  (XLA tiled transpose) so the whole axis fits in-block with no halos.
+- pass x rolls lanes, pass y rolls sublanes; each computes its displacement
+  IN-BLOCK from the velocity channel it needs (pass x from u_x, pass y from
+  the x-advected u_y -- path-following splitting, same as the XLA twin), so
+  no HBM displacement arrays exist.  All-channel blocks share the tap
+  weights when the tiling fits (_pass_kernel_fused_d); otherwise
+  per-channel blocks with a channel-pinned displacement input
+  (_pass_kernel_fused_d1).
+- pass z is a leading-dim window kernel (taps are slab slices: no
+  transposes, no rolls), with the impulse/forces/dissipation epilogue fused
+  into its output write and gated by a block/impulse-sphere test.
+- edge-clamp addressing is absorbed into the displacement
+  (_clamp_disp_inbounds): no per-tap selects anywhere.
+- blocks are sized for Mosaic's 16 MB scoped-VMEM stack (each unrolled
+  tap's rolled temporary stays live).
 
 Boundary addressing is CLAMP (Mosaic has no reverse primitive for the mirror
 the reference sampler uses); see _resample_axis for why the difference is

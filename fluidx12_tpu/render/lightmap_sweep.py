@@ -190,15 +190,26 @@ def _sweep_pooled_point(
 
     k = jnp.arange(n_s, dtype=dtype)
     denom = k - k_l               # > 0.5 for every slice
-    d0 = -k_l                     # smallest denominator (slice 0)
 
-    # w grids spanning every voxel-ray slope; widest at slice 0.
+    # w grids spanning every voxel-ray slope.  w = (p - pL)/(k - kL): both
+    # extremes of p and of the (positive) denominator matter -- with an
+    # oblique light the numerator can be one-signed, putting |w|'s MINIMUM
+    # at the far slice (round-3 bug: using only the slice-0 denominator
+    # left lower-corner rays outside the grid, whose zero unshear weights
+    # silently rendered them unshadowed).
     W_a = 2 * n_a
     W_b = 2 * n_b
-    wa_min = (0.0 - pl_a) / d0
-    wa_max = (n_a - 1.0 - pl_a) / d0
-    wb_min = (0.0 - pl_b) / d0
-    wb_max = (n_b - 1.0 - pl_b) / d0
+    den0 = -k_l
+    den1 = (n_s - 1.0) - k_l
+
+    def w_bounds(pl, n_lat):
+        cands = jnp.stack([(0.0 - pl) / den0, (0.0 - pl) / den1,
+                           (n_lat - 1.0 - pl) / den0,
+                           (n_lat - 1.0 - pl) / den1])
+        return jnp.min(cands), jnp.max(cands)
+
+    wa_min, wa_max = w_bounds(pl_a, n_a)
+    wb_min, wb_max = w_bounds(pl_b, n_b)
     dwa = (wa_max - wa_min) / (W_a - 1)
     dwb = (wb_max - wb_min) / (W_b - 1)
     wa = wa_min + jnp.arange(W_a, dtype=dtype) * dwa

@@ -206,16 +206,22 @@ def test_live_hotkeys_drive_engine(tmp_path):
     assert loop._handle_key("q", img, None) is True
 
 
-def test_point_light_falls_back_to_faithful_paths():
-    """point_light + fast_render must not silently render directional light:
-    the engine falls back to the faithful per-ray paths (VERDICT r1 item 7;
-    ref _POINT_LIGHT_, RayMarch.hlsli:40, CSRayMarch.hlsl:131)."""
+def test_point_light_interior_falls_back_to_faithful_paths():
+    """Exterior point lights ride the fast projective sweep (round 3;
+    tests/test_fastpath.py cross-checks it); an INTERIOR point light is the
+    one case the sweep cannot express, and must not silently render
+    directional light: the engine falls back to the faithful per-ray paths
+    with a warning (ref _POINT_LIGHT_, RayMarch.hlsli:40)."""
     import dataclasses
     import warnings
 
     base = FluidConfig(grid_size=(16, 16, 16), viewport=(32, 32),
                        max_ray_samples=8, max_light_samples=4,
-                       num_pressure_iters=4, point_light=True)
+                       num_pressure_iters=4, point_light=True,
+                       light_pos=(5.0, 5.0, -5.0))  # |pos| < volume_scale
+    from fluidx12_tpu.render.lightmap_sweep import point_sweep_supported
+
+    assert not point_sweep_supported(base)
     imgs = {}
     for fast in (True, False):
         cfg = dataclasses.replace(base, fast_render=fast)

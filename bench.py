@@ -94,7 +94,10 @@ def main():
     print(json.dumps(result))
 
 
-def _time_engine(engine, warm=20, n=15):
+def _time_engine(engine, warm=20, n=15, trials=3):
+    """Best of `trials` timing windows -- same methodology as the headline
+    (the axon relay adds 1-4 ms of per-window jitter unrelated to device
+    throughput; a single window overstates ms/step by jitter/n)."""
     import numpy as np
 
     img = engine.step_frame()
@@ -102,11 +105,14 @@ def _time_engine(engine, warm=20, n=15):
     for _ in range(warm):
         img = engine.step_frame()
     np.asarray(img.ravel()[:4])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        img = engine.step_frame()
-    np.asarray(img.ravel()[:4])
-    return (time.perf_counter() - t0) / n
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            img = engine.step_frame()
+        np.asarray(img.ravel()[:4])
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def run_config_suite():

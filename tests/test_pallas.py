@@ -48,6 +48,30 @@ def test_advect_backtrace_pallas_matches_xla():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_advect_per_channel_scratch_weights(monkeypatch):
+    """Force the per-channel tiling (_pass_kernel_fused_d1, normally only
+    engaged by the 256^3 y pass) and check its scratch-cached tap weights
+    reproduce the all-channel fused kernel exactly (same CLAMP semantics,
+    same f32 tap math -- the only difference is weight reuse across the
+    channel-innermost grid steps)."""
+    from fluidx12_tpu.ops.pallas import advect as pa
+
+    rng = np.random.default_rng(2)
+    vol = jnp.asarray(rng.uniform(0, 1, (7, 8, 16, 128)).astype(np.float32))
+    scale = 37.0  # displacements up to MAX_DISP: both tap tiers engage
+    for axis, disp_ch in ((3, 0), (2, 1)):
+        ref = pa._run_pass_fused(vol, axis=axis, interpret=True,
+                                 disp_ch=disp_ch, scale=scale)
+        assert ref is not None
+        monkeypatch.setattr(pa, "_CBLOCK_BUDGET_ELEMS", 0)
+        got = pa._run_pass_fused(vol, axis=axis, interpret=True,
+                                 disp_ch=disp_ch, scale=scale)
+        monkeypatch.undo()
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+
 def test_advect_backtrace_pallas_z_kernel():
     """Grid tall enough to engage the halo'd z-pass kernel (z >= 34)."""
     from fluidx12_tpu.core.config import FluidConfig

@@ -387,6 +387,58 @@ _AXIS_SWEEPS = [
 ]
 
 
+# Lateral dims at/above this run the shadow sweep at half lateral
+# resolution (tests monkeypatch it down to exercise the path).
+_LAT_POOL_MIN = 256
+
+
+def _pool2_lat(vol: jax.Array, arr_axis: int) -> jax.Array:
+    """2x box-pool the two non-major array dims of a (Z, Y, X) volume.
+    Trailing dims pool via small MXU matmuls (a reshape-mean on a trailing
+    dim pays the (8, 128) tile relayout, CLAUDE.md); the leading dim via a
+    safe reshape-mean."""
+    from fluidx12_tpu.sim.mg import _restrict_matrix
+
+    dt = vol.dtype
+    if arr_axis != 2:
+        vol = jnp.einsum("zyx,xm->zym", vol,
+                         jnp.asarray(_restrict_matrix(vol.shape[2]), dt))
+    if arr_axis != 1:
+        vol = jnp.einsum("zyx,ym->zmx", vol,
+                         jnp.asarray(_restrict_matrix(vol.shape[1]), dt))
+    if arr_axis != 0:
+        z = vol.shape[0]
+        vol = vol.reshape(z // 2, 2, *vol.shape[1:]).mean(axis=1)
+    return vol
+
+
+def _unpool2_lat(vol: jax.Array, arr_axis: int) -> jax.Array:
+    """Linear 2x upsample of the two non-major array dims (inverse layout
+    of _pool2_lat; cell-centered lerp matching sim/mg._prolong)."""
+    from fluidx12_tpu.sim.mg import _prolong_matrix
+
+    dt = vol.dtype
+    if arr_axis != 2:
+        vol = jnp.einsum("zyx,xm->zym", vol,
+                         jnp.asarray(_prolong_matrix(vol.shape[2]), dt))
+    if arr_axis != 1:
+        vol = jnp.einsum("zyx,ym->zmx", vol,
+                         jnp.asarray(_prolong_matrix(vol.shape[1]), dt))
+    if arr_axis != 0:
+        lo = jnp.concatenate([vol[:1], vol], axis=0)
+        hi = jnp.concatenate([vol, vol[-1:]], axis=0)
+        even = 0.25 * lo[:-1] + 0.75 * vol
+        odd = 0.75 * vol + 0.25 * hi[1:]
+        vol = jnp.stack([even, odd], axis=1).reshape(
+            2 * vol.shape[0], *vol.shape[1:])
+    return vol
+
+
+def _lat_pooled_ok(shape, arr_axis: int) -> bool:
+    lat = [n for d, n in enumerate(shape) if d != arr_axis]
+    return all(n % 2 == 0 and n >= _LAT_POOL_MIN for n in lat)
+
+
 def render_light_map_fast(
     grid: jax.Array,
     params: SceneParams,
@@ -424,9 +476,24 @@ def render_light_map_fast(
             density, light_local.astype(dtype), p_major, ref_step,
             config.absorption, flip=bool(lp[p_major] > 0))
     else:
-        shadow = directional_transmittance(
-            density, light_dir, major_axis, ref_step, config.absorption,
-            flip=flip)
+        # Big grids sweep at HALF lateral resolution: shadow is an integral,
+        # low-frequency quantity (the same argument as the AO half-res
+        # path), and the sweep's (m, 2n_a, 2n_b) sheared intermediate is
+        # its whole cost -- lateral pooling cuts the shear-chain traffic
+        # 4x (256^3 light map 1.8 -> ~0.9 ms).  The sweep's slope math
+        # reads lateral sizes from the array shape, so the pooled call
+        # shears in pooled-voxel units automatically.
+        arr_axis = {0: 2, 1: 1, 2: 0}[major_axis]
+        if flip is not None and _lat_pooled_ok(density.shape, arr_axis):
+            shadow = _unpool2_lat(
+                directional_transmittance(
+                    _pool2_lat(density, arr_axis), light_dir, major_axis,
+                    ref_step, config.absorption, flip=flip),
+                arr_axis)
+        else:
+            shadow = directional_transmittance(
+                density, light_dir, major_axis, ref_step, config.absorption,
+                flip=flip)
 
     env3 = (params.light_color[:3] * params.light_color[3])[:, None, None, None]
     dense = density >= config.zero_threshold

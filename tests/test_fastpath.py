@@ -76,6 +76,27 @@ def test_fast_light_map_matches_faithful():
     assert np.corrcoef(fast[0][mask], slow[0][mask])[0, 1] > 0.93
 
 
+def test_lat_pooled_shadow_matches_full_res(monkeypatch):
+    """The half-lateral-resolution shadow sweep (big-grid path, gated by
+    _LAT_POOL_MIN) must track the full-res sweep closely -- shadow is an
+    integral quantity, so 2x lateral box-pool + linear-up is a small
+    perturbation on smooth densities."""
+    import fluidx12_tpu.render.lightmap_sweep as ls
+
+    cfg = tiny_config()
+    grid = jnp.asarray(_smoke_grid(n=32))
+    params = scene(cfg)
+    full = np.asarray(render_light_map_fast(grid, params, cfg))
+    monkeypatch.setattr(ls, "_LAT_POOL_MIN", 8)
+    pooled = np.asarray(render_light_map_fast(grid, params, cfg))
+    assert np.isfinite(pooled).all()
+    d = np.asarray(grid[3])
+    mask = d > 0.02
+    rel = np.abs(pooled[0][mask] - full[0][mask]) / (np.abs(full[0][mask]) + 1e-3)
+    assert rel.mean() < 0.05, rel.mean()
+    assert np.corrcoef(pooled[0][mask], full[0][mask])[0, 1] > 0.97
+
+
 def test_fast_point_light_map_matches_faithful():
     """Projective point-light sweep (lightmap_sweep.point_transmittance) vs
     the faithful per-voxel point-light marcher (_POINT_LIGHT_ semantics,

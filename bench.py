@@ -188,9 +188,10 @@ def run_pass_breakdown(n=256):
         world_view_proj_i=jnp.asarray(m3.inverse(wvp)),
         screen_to_world=jnp.asarray(m3.inverse(cam.view_proj)))
 
-    from fluidx12_tpu.core.lod import gen_visibility_mask
+    from fluidx12_tpu.core.lod import gen_visibility_mask, screen_bbox
 
     vis_mask = gen_visibility_mask(m3.inverse(world), cam.eye)
+    rect = screen_bbox(wvp, cfg.viewport)
 
     def prefix(depth):
         def run(state):
@@ -204,7 +205,7 @@ def run_pass_breakdown(n=256):
                                            static_mask=vis_mask)
                 out = cube
             if depth >= 3:
-                rgba = resolve_cube(cube, params, cfg)
+                rgba = resolve_cube(cube, params, cfg, rect=rect)
                 out = rgba
             if depth >= 4:
                 bg = jnp.broadcast_to(jnp.asarray(cfg.clear_color[:3], rgba.dtype),

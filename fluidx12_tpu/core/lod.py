@@ -77,6 +77,41 @@ def estimate_cube_map_lod(
     return min(level, num_mips - 1), ray_sample_count
 
 
+def screen_bbox(world_view_proj: np.ndarray, viewport: Tuple[int, int],
+                quant: int = 32, pad: int = 2):
+    """Host-static pixel AABB (x0, y0, w, h) of the volume's screen
+    silhouette, or None when it cannot be bounded (a corner at/behind the
+    near plane) or would not shrink the viewport.
+
+    Only pixels inside the box's projection can hit it, so the resolve /
+    direct-warp gathers -- whose cost is per pixel ROW (CLAUDE.md layout
+    notes) -- need only run inside this rect; everything outside is the
+    zero discard the reference gets from rasterizing the cube's faces
+    (VSCube + front-face culling, Fluid.cpp:929).  The perspective image of
+    a convex polytope with all vertices in front of the eye is the convex
+    hull of the vertex images, so the corner bbox bounds the silhouette.
+    Rounded OUTWARD to `quant`-pixel multiples so an orbiting camera
+    retraces only at coarse thresholds (same idea as direct_plane_spec's
+    quantization); `pad` guards float rounding at the silhouette edge.
+    """
+    h4 = m3.transform_point_h(_CUBE_CORNERS, world_view_proj)  # (8, 4)
+    if np.any(h4[:, 3] <= 1e-6):
+        return None
+    ndc = h4[:, :2] / h4[:, 3:4]
+    xy = (ndc * np.array([0.5, -0.5], np.float32) + 0.5) * np.array(
+        viewport, np.float32)
+    w, h = int(viewport[0]), int(viewport[1])
+    x0 = int(np.clip(np.floor((xy[:, 0].min() - pad) / quant) * quant, 0, w))
+    y0 = int(np.clip(np.floor((xy[:, 1].min() - pad) / quant) * quant, 0, h))
+    x1 = int(np.clip(np.ceil((xy[:, 0].max() + pad) / quant) * quant, 0, w))
+    y1 = int(np.clip(np.ceil((xy[:, 1].max() + pad) / quant) * quant, 0, h))
+    if x1 <= x0 or y1 <= y0:
+        return None  # fully off-screen: keep the trivial full-frame path
+    if (x1 - x0) * (y1 - y0) >= w * h:
+        return None
+    return (x0, y0, x1 - x0, y1 - y0)
+
+
 def is_cube_face_visible(face: int, local_eye: np.ndarray) -> bool:
     """Face f axis = f>>1, positive side when (f & 1) == 0 (ref: Fluid.cpp:39-45)."""
     comp = float(local_eye[face >> 1])

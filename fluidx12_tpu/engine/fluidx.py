@@ -83,6 +83,8 @@ class FluidXEngine:
         self._frame_cache: Optional[Tuple[jax.Array, int, Optional[int]]] = None
         self._plane_key = None
         self._plane_cache = None
+        self._rect_key = None
+        self._rect_cache = None
 
     # ------------------------------------------------------------------
     # Host-side per-frame update (the CB upload analog)
@@ -132,7 +134,7 @@ class FluidXEngine:
     # ------------------------------------------------------------------
     def _build_program(self, method: RenderMethod, lod: int,
                        vis_mask: Optional[int] = None,
-                       plane_spec=None):
+                       plane_spec=None, rect=None):
         cfg = self.config
         has_probe = self.sh_coeffs is not None
 
@@ -190,7 +192,7 @@ class FluidXEngine:
                             grid, params, cfg, lod=lod,
                             light_map=light_map, sh_coeffs=sh_coeffs,
                         )
-                    rgba = resolve_cube(cube, params, cfg)
+                    rgba = resolve_cube(cube, params, cfg, rect=rect)
                 elif fast_direct:
                     # Perspective shear-warp (render/screencomp.py).  Sample
                     # count binding mirrors the reference: merged binds the
@@ -199,7 +201,7 @@ class FluidXEngine:
                     num = (params.num_samples if method.separate_light_pass
                            else jnp.int32(cfg.max_ray_samples))
                     rgba = ray_cast_direct_fast(grid, params, cfg, light_map,
-                                                plane_spec, num)
+                                                plane_spec, num, rect=rect)
                 else:
                     rgba = ray_cast_direct(
                         grid, params, cfg,
@@ -219,12 +221,28 @@ class FluidXEngine:
         return jax.jit(step_and_render, donate_argnums=(0,))
 
     def _program(self, method: RenderMethod, lod: int,
-                 vis_mask: Optional[int] = None, plane_spec=None):
-        key = (method, lod, vis_mask, plane_spec)
+                 vis_mask: Optional[int] = None, plane_spec=None, rect=None):
+        key = (method, lod, vis_mask, plane_spec, rect)
         if key not in self._programs:
             self._programs[key] = self._build_program(method, lod, vis_mask,
-                                                      plane_spec)
+                                                      plane_spec, rect)
         return self._programs[key]
+
+    def _screen_rect(self):
+        """Host-static screen bbox of the volume (core.lod.screen_bbox),
+        cached on the camera pose; part of the jit-cache key (the analog of
+        the reference's scissor from rasterizing only the cube's faces)."""
+        if not self.config.is_3d:
+            return None
+        pose = (self.camera.view.tobytes(), self.camera.proj.tobytes())
+        if pose == self._rect_key:
+            return self._rect_cache
+        from fluidx12_tpu.core.lod import screen_bbox
+
+        self._rect_key = pose
+        self._rect_cache = screen_bbox(self.world @ self.camera.view_proj,
+                                       self.config.viewport)
+        return self._rect_cache
 
     def _direct_plane_spec(self, lod: int = 0):
         """Static base-plane geometry for the fast DIRECT methods, or None
@@ -261,7 +279,8 @@ class FluidXEngine:
         params, lod, vis_mask = self.update_frame()
         plane_spec = (self._direct_plane_spec(lod)
                       if not self.render_method.uses_cube_map else None)
-        program = self._program(self.render_method, lod, vis_mask, plane_spec)
+        program = self._program(self.render_method, lod, vis_mask, plane_spec,
+                                self._screen_rect())
         self.state, image = program(self.state, params, self.sh_coeffs, self.radiance)
         self.frame_index += 1
         return image

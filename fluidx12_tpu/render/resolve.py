@@ -368,16 +368,26 @@ def resolve_cube(
     config: FluidConfig,
     cube_depth: Optional[jax.Array] = None,
     depth_map: Optional[jax.Array] = None,
+    rect=None,
 ) -> jax.Array:
     """Resolve the cube map to the viewport; returns (H, W, 4) premultiplied RGBA.
 
     With cube_depth (from ray_march_cube's depth path) + the scene depth_map,
-    the fetch becomes the depth-bilateral CubeCast (`_HAS_DEPTH_MAP_`)."""
+    the fetch becomes the depth-bilateral CubeCast (`_HAS_DEPTH_MAP_`).
+
+    rect, a host-static (x0, y0, w, h) from core.lod.screen_bbox, restricts
+    the whole pass to the volume's screen bounding box: the row gather's
+    cost is per pixel, and pixels outside the silhouette resolve to the
+    zero discard anyway (the reference gets this for free by rasterizing
+    only the cube's faces, Fluid.cpp:929).  Output is identical to the
+    full-frame form -- pixel centers are computed from GLOBAL indices, so
+    in-rect values match bitwise."""
     h, w = config.viewport[1], config.viewport[0]
     dtype = config.render_dtype
+    x0, y0, rw, rh = rect if rect is not None else (0, 0, w, h)
 
-    ju = (jnp.arange(w, dtype=dtype) + 0.5) / w
-    jv = (jnp.arange(h, dtype=dtype) + 0.5) / h
+    ju = (x0 + jnp.arange(rw, dtype=dtype) + 0.5) / w
+    jv = (y0 + jnp.arange(rh, dtype=dtype) + 0.5) / h
     vv, uu = jnp.meshgrid(jv, ju, indexing="ij")
     uv = jnp.stack([uu, vv], axis=-1)
 
@@ -391,13 +401,20 @@ def resolve_cube(
     face = jnp.where(is_hit, face, 0)
 
     if cube_depth is not None and depth_map is not None:
+        scene_depth = depth_map.astype(dtype)
+        if rect is not None:  # depth map is full-viewport
+            scene_depth = scene_depth[y0:y0 + rh, x0:x0 + rw]
         rgba = cube_cast_depth_aware(
             cube.astype(dtype), cube_depth, face, u, v,
-            depth_map.astype(dtype), config.z_near, config.z_far)
+            scene_depth, config.z_near, config.z_far)
     elif config.block_resolve and h % 2 == 0 and w % 2 == 0 and cube.shape[1] >= 8:
         rgba = cube_cast_blocked(cube.astype(dtype), face, u, v, hit_pos, is_hit)
     else:
         rgba = cube_cast(cube.astype(dtype), face, u, v, hit_pos, ray_dir)
     rgba = jnp.where(is_hit[..., None], rgba, 0.0)
     # discard when alpha <= 0 (PSCube.hlsl:26, PSRayCastCube.hlsl:111)
-    return jnp.where(rgba[..., 3:4] > 0.0, rgba, 0.0)
+    rgba = jnp.where(rgba[..., 3:4] > 0.0, rgba, 0.0)
+    if rect is not None:
+        rgba = jnp.zeros((h, w, rgba.shape[-1]), rgba.dtype
+                         ).at[y0:y0 + rh, x0:x0 + rw].set(rgba)
+    return rgba

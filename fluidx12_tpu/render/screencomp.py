@@ -146,20 +146,25 @@ def _plane_cast(img: jax.Array, ut: jax.Array, vt: jax.Array) -> jax.Array:
 
 
 def _warp_plane_to_screen(img: jax.Array, spec: DirectPlaneSpec,
-                          params: SceneParams, config: FluidConfig) -> jax.Array:
+                          params: SceneParams, config: FluidConfig,
+                          rect=None) -> jax.Array:
     """Projective warp of the composited base-plane image to the viewport.
 
     Per pixel: form the local-space eye ray (TexcoordToLocalPos,
     PSRayCastCube.hlsl:17-26), intersect the base plane, map the lateral hit
     to plane uv, and bilinearly fetch with the record gather.  Pixels whose
-    rays miss the volume box discard (PSRayCast.hlsl:38-42).
+    rays miss the volume box discard (PSRayCast.hlsl:38-42).  rect, a
+    host-static (x0, y0, w, h) from core.lod.screen_bbox, restricts the
+    per-pixel work and the row gather to the volume's screen bounding box
+    (identical output: out-of-rect pixels are the miss discard).
     """
     axis, sign, (ua, us), (va, vs) = _FACES[spec.face_id]
     h, w = config.viewport[1], config.viewport[0]
     dtype = config.render_dtype
+    x0, y0, rw, rh = rect if rect is not None else (0, 0, w, h)
 
-    ju = (jnp.arange(w, dtype=dtype) + 0.5) / w
-    jv = (jnp.arange(h, dtype=dtype) + 0.5) / h
+    ju = (x0 + jnp.arange(rw, dtype=dtype) + 0.5) / w
+    jv = (y0 + jnp.arange(rh, dtype=dtype) + 0.5) / h
     vv_, uu_ = jnp.meshgrid(jv, ju, indexing="ij")
     uv = jnp.stack([uu_, vv_], axis=-1)
 
@@ -185,7 +190,11 @@ def _warp_plane_to_screen(img: jax.Array, spec: DirectPlaneSpec,
 
     rgba = _plane_cast(img.astype(dtype), ut, vt)
     rgba = jnp.where(valid[..., None], rgba, 0.0)
-    return jnp.where(rgba[..., 3:4] > 0.0, rgba, 0.0)
+    rgba = jnp.where(rgba[..., 3:4] > 0.0, rgba, 0.0)
+    if rect is not None:
+        rgba = jnp.zeros((h, w, rgba.shape[-1]), rgba.dtype
+                         ).at[y0:y0 + rh, x0:x0 + rw].set(rgba)
+    return rgba
 
 
 def ray_cast_direct_fast(
@@ -195,6 +204,7 @@ def ray_cast_direct_fast(
     light_map: jax.Array,
     spec: DirectPlaneSpec,
     num_samples: jax.Array,
+    rect=None,
 ) -> jax.Array:
     """Fast direct screen-space march; returns (H, W, 4) premultiplied RGBA.
 
@@ -216,4 +226,4 @@ def ray_cast_direct_fast(
     volf = _axis_volume(vol, axis, config, lod=0)
     img = _march_face(spec.face_id, volf, local_eye, num_samples, config,
                       dtype, lod=0, extent=spec.extent, res=spec.res)
-    return _warp_plane_to_screen(img, spec, params, config)
+    return _warp_plane_to_screen(img, spec, params, config, rect=rect)

@@ -72,6 +72,34 @@ def test_advect_per_channel_scratch_weights(monkeypatch):
                                    atol=1e-6)
 
 
+def test_advect_still_tier_passthrough():
+    """Blocks with ~zero displacement take the still tier (out = q exactly);
+    mixed volumes where only some z-slabs are quiescent must still match
+    the XLA twin everywhere (tier predicates must not misfire)."""
+    from fluidx12_tpu.core.config import FluidConfig
+    from fluidx12_tpu.ops.pallas.advect import backtrace_pallas
+    from fluidx12_tpu.sim.advect_fast import _backtrace_split
+
+    cfg = FluidConfig(grid_size=(16, 16, 16))
+    rng = np.random.default_rng(3)
+    both = rng.uniform(0, 1, (7, 16, 16, 16)).astype(np.float32)
+    # Exact-zero velocity: every block is still; output == input bitwise.
+    both_still = both.copy()
+    both_still[:3] = 0.0
+    got = np.asarray(backtrace_pallas(jnp.asarray(both_still),
+                                      cfg.time_step, cfg))
+    np.testing.assert_array_equal(got, both_still)
+
+    # Mixed: velocity zero except an interior blob (away from the walls so
+    # CLAMP == MIRROR); still blocks coexist with tap tiers.
+    interior = np.zeros((16, 16, 16), np.float32)
+    interior[6:-6, 6:-6, 6:-6] = 1.0
+    both[:3] *= 2.0 * interior
+    ref = np.asarray(_backtrace_split(jnp.asarray(both), cfg.time_step, cfg))
+    got = np.asarray(backtrace_pallas(jnp.asarray(both), cfg.time_step, cfg))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_advect_backtrace_pallas_z_kernel():
     """Grid tall enough to engage the halo'd z-pass kernel (z >= 34)."""
     from fluidx12_tpu.core.config import FluidConfig

@@ -106,6 +106,68 @@ def test_raycast_sees_centered_blob():
     assert np.isfinite(img).all()
 
 
+def test_resolve_screen_rect_matches_full_frame():
+    """resolve_cube with the host-static screen bbox (core.lod.screen_bbox)
+    must reproduce the full-frame resolve exactly: in-rect pixel centers are
+    computed from global indices (bitwise-equal uv), and every hit pixel
+    lies inside the rect (the bbox bounds the silhouette)."""
+    from fluidx12_tpu.core.lod import screen_bbox
+
+    cfg = tiny_config(viewport=(64, 48))
+    rng = np.random.default_rng(1)
+    grid = np.zeros((4, 16, 16, 16), np.float32)
+    grid[3, 4:12, 4:12, 4:12] = rng.uniform(0.2, 0.8, (8, 8, 8))
+    grid[:3] = grid[3] * 0.5
+    params = scene(cfg)
+
+    cube = ray_march_cube(jnp.asarray(grid), params, cfg, lod=0)
+    full = np.asarray(resolve_cube(cube, params, cfg))
+
+    wvp = np.asarray(params.world_view_proj)
+    rect = screen_bbox(wvp, cfg.viewport, quant=8)
+    assert rect is not None, "default orbit camera: volume is on-screen"
+    x0, y0, rw, rh = rect
+    assert rw < cfg.viewport[0] or rh < cfg.viewport[1]
+    got = np.asarray(resolve_cube(cube, params, cfg, rect=rect))
+    np.testing.assert_array_equal(got, full)
+
+    # Containment: nothing resolves outside the rect in the full frame.
+    mask = np.zeros(full.shape[:2], bool)
+    mask[y0:y0 + rh, x0:x0 + rw] = True
+    assert (full[~mask] == 0).all()
+
+
+def test_direct_warp_screen_rect_matches_full_frame():
+    """The DIRECT fast path's projective warp honors the same static rect."""
+    from fluidx12_tpu.core.lod import screen_bbox
+    from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
+    from fluidx12_tpu.render.screencomp import (
+        direct_plane_spec,
+        ray_cast_direct_fast,
+    )
+    from fluidx12_tpu.ops.transform import transform_point_h
+
+    cfg = tiny_config(viewport=(64, 48))
+    rng = np.random.default_rng(2)
+    grid = np.zeros((4, 16, 16, 16), np.float32)
+    grid[3, 4:12, 4:12, 4:12] = rng.uniform(0.2, 0.8, (8, 8, 8))
+    grid[:3] = grid[3] * 0.5
+    params = scene(cfg)
+    wvp = np.asarray(params.world_view_proj)
+    local_eye = np.asarray(
+        transform_point_h(np.asarray(params.eye_pt), np.asarray(params.world_i)))[:3]
+    spec = direct_plane_spec(local_eye, wvp, cfg.viewport, cfg)
+    assert spec is not None
+    lm = render_light_map_fast(jnp.asarray(grid), params, cfg)
+    num = jnp.int32(cfg.max_ray_samples)
+    full = np.asarray(ray_cast_direct_fast(
+        jnp.asarray(grid), params, cfg, lm, spec, num))
+    rect = screen_bbox(wvp, cfg.viewport, quant=8)
+    got = np.asarray(ray_cast_direct_fast(
+        jnp.asarray(grid), params, cfg, lm, spec, num, rect=rect))
+    np.testing.assert_array_equal(got, full)
+
+
 def test_cubemap_march_plus_resolve_approximates_direct():
     # The paper's claim: cube-map-space marching + AA resolve ~ direct marching.
     cfg = tiny_config()

@@ -133,10 +133,11 @@ def sharded_directional_transmittance(
     mx = _mxu()
 
     if major_axis != 2 and zero_slope:
-        # Axis-aligned lateral sweep: no Z mixing; plain local sweep.
+        # Axis-aligned lateral sweep: no Z mixing; plain local sweep (the
+        # cumsum-only axis_aligned branch, same as the replicated AO).
         return directional_transmittance(
             dens_local, light_dir, major_axis, ref_step, absorption,
-            flip=flip, max_slices=max_slices)
+            flip=flip, max_slices=max_slices, axis_aligned=True)
 
     def prefix_fn(k0):
         def fn(slab_sum):

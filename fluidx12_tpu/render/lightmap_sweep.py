@@ -312,6 +312,7 @@ def directional_transmittance(
     absorption: float,
     flip: Optional[bool] = None,  # static sign of light_dir[major_axis], if known
     max_slices: int = 128,        # sweep slice budget (callers may lower it)
+    axis_aligned: bool = False,   # static: light exactly along the major axis
 ) -> jax.Array:
     """Per-voxel transmittance toward the light; returns (Z, Y, X).
 
@@ -355,9 +356,22 @@ def directional_transmittance(
     if flip is None:
         dens_o = jnp.where(sign_pos, dens_o[::-1], dens_o)
 
-    transm = _sweep_pooled(
-        dens_o, light_dir, major_axis, sizes, stride, ref_step, absorption,
-        k_ids=jnp.arange(n_s, dtype=dtype))
+    if axis_aligned:
+        # Zero lateral slope: the shear/unshear weights are exact identity
+        # one-hots, so the whole (m, 2n_a, 2n_b) sheared frame collapses to
+        # a bare exclusive cumsum along the slice axis -- the 6 AO basis
+        # sweeps (always axis-aligned) skip 4 einsums each.  Identical
+        # result to _sweep_pooled with slope 0 by construction.
+        step_len = 2.0 * stride / n_m  # |l_major| == 1
+        n_steps = step_len / ref_step
+        att = jnp.clip(1.0 - dens_o * absorption, 1e-6, 1.0)
+        log_att = jnp.log(att) * n_steps
+        excl = jnp.cumsum(log_att, axis=0) - log_att
+        transm = jnp.exp(jnp.minimum(excl, 0.0))
+    else:
+        transm = _sweep_pooled(
+            dens_o, light_dir, major_axis, sizes, stride, ref_step, absorption,
+            k_ids=jnp.arange(n_s, dtype=dtype))
     if flip is not None:
         # Upsample (piecewise-constant within a pooled group -- the shadow
         # is an integral quantity; banding is sub-visual at these strides),
@@ -638,7 +652,7 @@ def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config):
         # cost for no visible change.
         sweeps.append(directional_transmittance(
             dens_s, d6, ax, ref_step, config.absorption, flip=sgn > 0,
-            max_slices=64))
+            max_slices=64, axis_aligned=True))
     comp = [jnp.maximum(cx, 0.0), jnp.maximum(-cx, 0.0),
             jnp.maximum(cy, 0.0), jnp.maximum(-cy, 0.0),
             jnp.maximum(cz, 0.0), jnp.maximum(-cz, 0.0)]

@@ -58,6 +58,23 @@ def test_directional_transmittance_axis_aligned_exact():
         np.testing.assert_allclose(got, expected, rtol=0.02, err_msg=f"j={j}")
 
 
+def test_axis_aligned_sweep_fast_path_matches_general():
+    """The cumsum-only axis_aligned branch must equal the general sheared
+    sweep for an exactly axis-aligned light (where the shear weights are
+    identity one-hots)."""
+    n = 16
+    d = np.asarray(_smoke_grid(n)[3])
+    ref_step = jnp.float32(2 * np.sqrt(3) / 16)
+    for ax, sgn in [(0, +1), (1, -1), (2, +1)]:
+        ld = jnp.zeros(3, jnp.float32).at[ax].set(float(sgn))
+        gen = np.asarray(directional_transmittance(
+            jnp.asarray(d), ld, ax, ref_step, 0.8, flip=sgn > 0))
+        fast = np.asarray(directional_transmittance(
+            jnp.asarray(d), ld, ax, ref_step, 0.8, flip=sgn > 0,
+            axis_aligned=True))
+        np.testing.assert_allclose(fast, gen, atol=2e-5, err_msg=f"ax={ax}")
+
+
 def test_fast_light_map_matches_faithful():
     cfg = tiny_config()
     grid = jnp.asarray(_smoke_grid())

@@ -510,7 +510,7 @@ def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref,
 _zpass_body = _zpass_kernel
 
 
-def _zpass_plan(nz: int, ny: int, nx: int, slab_max: int = 64):
+def _zpass_plan(nz: int, ny: int, nx: int, slab_max: int = 128):
     """(slab, ytile) for the z-pass window kernel, or None."""
     if nx % 128:
         # Lane dim below/unaligned to the 128-lane tile: the in-kernel
@@ -518,14 +518,16 @@ def _zpass_plan(nz: int, ny: int, nx: int, slab_max: int = 64):
         # hardware -- interpret mode does not enforce it).
         return None
     # Taller slabs cut the halo-block read redundancy ((slab + 2*_ZHBLK) /
-    # slab: 2.0 at slab 32 -> 1.5 at 64); the y tile shrinks to keep the
-    # block inside the budget.
+    # slab: 1.5 at slab 64 -> 1.25 at 128); the y tile shrinks to keep the
+    # block inside the budget, and the slab halves if even ytile=8 cannot.
     slab = slab_max
     while slab > 1 and nz % slab:
         slab //= 2
     ytile = 32
     while ytile > 8 and (ny % ytile or slab * ytile * nx > 256 * 1024):
         ytile //= 2
+    while slab > _ZHBLK and slab * ytile * nx > 256 * 1024:
+        slab //= 2
     if nz % slab or ny % ytile or slab < _ZHBLK or slab % _ZHBLK:
         return None
     return slab, ytile
@@ -550,7 +552,7 @@ def _forces_table(config):
 
 
 def _run_zpass(vol: jax.Array, scale, interpret: bool,
-               slab_max: int = 64, forces_cfg=None, forces_dt=None):
+               slab_max: int = 128, forces_cfg=None, forces_dt=None):
     """vol (C, Z, Y, X): resample z with displacement -u_z * scale computed
     in-kernel from channel 2 (see _zpass_kernel).
 

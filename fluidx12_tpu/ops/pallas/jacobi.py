@@ -134,7 +134,7 @@ def _jacobi_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
 
 def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
                       ytile: int, halo: int, inner: int, nz: int, ny: int,
-                      chunk: int = 8):
+                      chunk: int = 8, rr=None):
     """Plane-sweep variant for big volumes (planes > 128x128).
 
     The whole-window kernel (_jacobi_kernel) keeps ~8 window-sized sweep
@@ -158,7 +158,7 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
     lo_z = jnp.clip(z0 - halo, 0, nz - size_z)
     lo_y = pl.multiple_of(jnp.clip(y0 - halo, 0, ny - size_y), 8)
 
-    def body(qa, qb, b_buf, sem_q, sem_b, sem_o):
+    def body(qa, qb, b_buf, sem_q, sem_b, sem_o, rc_buf=None, sem_rc=None):
         cp_q = pltpu.make_async_copy(
             q_hbm.at[pl.ds(lo_z, size_z), pl.ds(lo_y, size_y)], qa, sem_q)
         cp_b = pltpu.make_async_copy(
@@ -219,11 +219,69 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
             sem_o,
         )
         cp_o.start()
+
+        if rr is not None:
+            # Fused residual + 2x restrict epilogue (the multigrid's next
+            # two passes, sim/mg.py): the final window already holds q AND
+            # b in VMEM with one valid halo ring (halo - inner >= 1 fresh
+            # planes/rows), so r = b - A q on the center needs no HBM
+            # reads, and the 2x box pooling writes the COARSE volume
+            # straight out -- the full-resolution residual never exists in
+            # HBM (saves ~4 volume moves per V-cycle at 256^3).  Pooling
+            # matches mg._restrict: trailing dims contract with 0.5
+            # matrices on the MXU (the x matrix carries the caller's
+            # scale), z pairs average on the leading dim.
+            rc_hbm, my_ref, px_ref, sel = rr
+            my = my_ref[sel]           # (ytile/2, size_y) center-row pool
+            zc0 = z0 - lo_z
+            c2 = chunk // 2
+
+            def rchunk(ci, _):
+                z = zc0 + ci * chunk
+                q = final[pl.ds(z, chunk)]
+                up = jnp.where(bot_y, q, pltpu.roll(q, size_y - 1, 1))
+                dn = jnp.where(top_y, q, pltpu.roll(q, 1, 1))
+                rt = jnp.where(last_x, q, pltpu.roll(q, nx - 1, 2))
+                lt = jnp.where(first_x, q, pltpu.roll(q, 1, 2))
+                zm = jnp.concatenate(
+                    [final[pl.ds(jnp.maximum(z - 1, 0), 1)], q[:-1]], axis=0)
+                zp = jnp.concatenate(
+                    [q[1:], final[pl.ds(jnp.minimum(z + chunk, size_z - 1), 1)]],
+                    axis=0)
+                gz = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0) + z + lo_z
+                zm = jnp.where(gz == 0, q, zm)
+                zp = jnp.where(gz == nz - 1, q, zp)
+                res = b_buf[pl.ds(z, chunk)] - (
+                    up + dn + rt + lt + zm + zp - 6.0 * q)
+                # x-pool (MXU) -> z-pair mean (leading dim) -> y center
+                # pool (MXU); all f32.  precision=HIGHEST: default-precision
+                # MXU passes round f32 operands to bf16 (measured 1.5e-3
+                # relative drift in r_c at 256^3); these dots are a trivial
+                # FLOP fraction, so the 3-pass form is ~free.
+                hi = jax.lax.Precision.HIGHEST
+                xz = [jnp.dot(res[2 * j] + res[2 * j + 1], px_ref[...],
+                              precision=hi,
+                              preferred_element_type=jnp.float32) * 0.5
+                      for j in range(c2)]
+                rows = [jnp.dot(my, xz[j], precision=hi,
+                                preferred_element_type=jnp.float32)
+                        for j in range(c2)]
+                rc_buf[pl.ds(ci * c2, c2)] = jnp.stack(rows, axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, slab // chunk, rchunk, 0)
+            cp_rc = pltpu.make_async_copy(
+                rc_buf,
+                rc_hbm.at[pl.ds(z0 // 2, slab // 2),
+                          pl.ds(pl.multiple_of(y0 // 2, 8), ytile // 2)],
+                sem_rc,
+            )
+            cp_rc.start()
+            cp_rc.wait()
         cp_o.wait()
 
     nx = q_hbm.shape[2]
-    pl.run_scoped(
-        body,
+    scoped = dict(
         qa=pltpu.VMEM((size_z, size_y, nx), jnp.float32),
         qb=pltpu.VMEM((size_z, size_y, nx), jnp.float32),
         b_buf=pltpu.VMEM((size_z, size_y, nx), jnp.float32),
@@ -231,6 +289,11 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
         sem_b=pltpu.SemaphoreType.DMA,
         sem_o=pltpu.SemaphoreType.DMA,
     )
+    if rr is not None:
+        scoped.update(
+            rc_buf=pltpu.VMEM((slab // 2, ytile // 2, nx // 2), jnp.float32),
+            sem_rc=pltpu.SemaphoreType.DMA)
+    pl.run_scoped(body, **scoped)
 
 
 def _planewise_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
@@ -249,6 +312,87 @@ def _planewise_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
     @pl.when(r % 2 == 1)
     def _():
         _planewise_window(qb, b_hbm, qa, zi, yi, **kw)
+
+
+def _planewise_rr_kernel(q_hbm, b_hbm, my3, px, out_q, out_rc, *, slab: int,
+                         ytile: int, halo: int, inner: int, nz: int, ny: int):
+    """One smoothing round + fused residual/restrict epilogue (see
+    _planewise_window's rr branch).  sel picks the center-row pooling
+    matrix for this window's y-shift (windows shift, not shrink, at the
+    volume edges: interior windows start halo rows early, the bottom
+    window at 0, the top one 2*halo early)."""
+    zi = pl.program_id(0)
+    yi = pl.program_id(1)
+    n_yt = ny // ytile
+    sel = jnp.where(yi == 0, 0, jnp.where(yi == n_yt - 1, 2, 1))
+    _planewise_window(q_hbm, b_hbm, out_q, zi, yi, slab=slab, ytile=ytile,
+                      halo=halo, inner=inner, nz=nz, ny=ny,
+                      rr=(out_rc, my3, px, sel))
+
+
+def jacobi_rr_supported(shape, iters: int) -> bool:
+    """True when jacobi_pallas_rr can run this volume: the plane-sweep
+    planner fits (iters in ONE round) and the window tiling pools cleanly
+    (even dims; coarse y-offsets stay sublane-aligned)."""
+    nz, ny, nx = shape
+    if nx % 128 or nz % 2 or ny % 2 or nx % 2:
+        return False
+    if ny * nx <= 128 * 128:
+        return False  # mg takes the whole-window kernels there
+    pw = _plan_planewise(shape, iters)
+    if pw is None:
+        return False
+    _, ytile, halo = pw
+    # ytile >= 16 keeps the coarse DMA y-offsets sublane-aligned; halo >
+    # iters leaves at least one FRESH halo ring for the residual stencil.
+    return ytile >= 16 and halo > iters
+
+
+def jacobi_pallas_rr(pressure: jax.Array, div: jax.Array, iters: int,
+                     scale: float = 1.0):
+    """`iters` Jacobi sweeps PLUS the multigrid's next two passes fused in:
+    returns (q, r_c) with r_c = restrict(b - A q) * scale at half
+    resolution -- the full-resolution residual never touches HBM.
+    Semantics match jacobi_sweeps + mg._residual + mg._restrict * scale
+    (1-ulp pooling-order differences); cross-checked in tests/test_pallas.py.
+    """
+    import numpy as np
+
+    nz, ny, nx = pressure.shape
+    pw = _plan_planewise(pressure.shape, iters)
+    slab, ytile, halo = pw
+    size_y = min(ytile + 2 * halo, ny)
+    yt2 = ytile // 2
+
+    # Three center-row pooling matrices (transposed: (ytile/2, size_y)),
+    # one per window y-shift; rows outside the center carry zero weight.
+    my3 = np.zeros((3, yt2, size_y), np.float32)
+    for v, yc0 in enumerate((0, halo, 2 * halo)):
+        o = min(yc0, size_y - ytile)
+        my3[v, np.arange(ytile) // 2, o + np.arange(ytile)] = 0.5
+    px = np.zeros((nx, nx // 2), np.float32)
+    px[np.arange(nx), np.arange(nx) // 2] = 0.5 * scale
+
+    kernel = functools.partial(
+        _planewise_rr_kernel, slab=slab, ytile=ytile, halo=halo,
+        inner=iters, nz=nz, ny=ny)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=(jax.ShapeDtypeStruct(pressure.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((nz // 2, ny // 2, nx // 2),
+                                        jnp.float32)),
+        grid=(nz // slab, ny // ytile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vmem((3, yt2, size_y), lambda zi, yi: (0, 0, 0)),
+            vmem((nx, nx // 2), lambda zi, yi: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+    )(pressure, div, jnp.asarray(my3), jnp.asarray(px))
 
 
 def _jacobi2d_kernel(q_ref, b_ref, out_ref, *, iters: int):

@@ -138,9 +138,30 @@ def mg_solve(q: jax.Array, b: jax.Array, pre: int = MG_PRE,
     use_pallas=False forces the XLA twins throughout (the config's master
     switch, core/config.py).
     """
-    q = _smooth(q, b, pre, use_pallas)
-    r = _residual(q, b, use_pallas)
-    r_c = _restrict(r) * 4.0
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi_pallas_rr,
+        jacobi_rr_supported,
+    )
+
+    if (use_pallas and jax.default_backend() == "tpu"
+            and jacobi_rr_supported(q.shape, pre)):
+        # Fused fine pass: the pre-smoother's windows already hold q and b
+        # in VMEM, so the residual + 2x restrict ride its epilogue and the
+        # full-res residual never exists in HBM (ops/pallas/jacobi.py).
+        q, r_c = jacobi_pallas_rr(q, b, pre, scale=4.0)
+    else:
+        q = _smooth(q, b, pre, use_pallas)
+        r = _residual(q, b, use_pallas)
+        r_c = _restrict(r) * 4.0
     e_c = _smooth(jnp.zeros_like(r_c), r_c, coarse_iters, use_pallas)
-    q = q + _prolong(e_c)
+    from fluidx12_tpu.ops.pallas.stencil import (
+        prolong_correct_pallas,
+        stencil_pallas_supported,
+    )
+
+    if (use_pallas and jax.default_backend() == "tpu"
+            and stencil_pallas_supported(q.shape)):
+        q = prolong_correct_pallas(q, e_c)
+    else:
+        q = q + _prolong(e_c)
     return _smooth(q, b, post, use_pallas)

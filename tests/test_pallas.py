@@ -157,6 +157,43 @@ def test_jacobi_planewise_plan_and_match():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_jacobi_rr_fused_matches_smooth_residual_restrict():
+    """The fused pre-smooth + residual + 2x-restrict kernel must match the
+    unfused mg chain (smooth -> residual -> restrict * scale)."""
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi_pallas_rr, jacobi_rr_supported)
+    from fluidx12_tpu.sim.mg import _residual, _restrict
+
+    assert jacobi_rr_supported((256, 256, 256), 4)
+    assert not jacobi_rr_supported((128, 128, 128), 4)  # whole-window path
+    assert not jacobi_rr_supported((256, 256, 256), 8)  # no fresh halo ring
+
+    rng = np.random.default_rng(11)
+    # ny = 144 exercises all three window y-shifts (bottom/interior/top).
+    shape = (32, 144, 256)
+    assert jacobi_rr_supported(shape, 4)
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    q_ref = jacobi_sweeps(q, b, 4, True)
+    rc_ref = np.asarray(_restrict(_residual(q_ref, b, use_pallas=False)) * 4.0)
+    q_got, rc_got = jacobi_pallas_rr(q, b, 4, scale=4.0)
+    np.testing.assert_allclose(np.asarray(q_got), np.asarray(q_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rc_got), rc_ref, atol=1e-4)
+
+
+def test_prolong_correct_kernel_matches_xla():
+    """q + prolong(e_c) streaming kernel vs the mg XLA chain."""
+    from fluidx12_tpu.ops.pallas.stencil import prolong_correct_pallas
+    from fluidx12_tpu.sim.mg import _prolong
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((16, 144, 256)).astype(np.float32))
+    e = jnp.asarray(rng.standard_normal((8, 72, 128)).astype(np.float32))
+    ref = np.asarray(q + _prolong(e))
+    got = np.asarray(prolong_correct_pallas(q, e))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_jacobi_pallas_full_plane_tall_slab():
     # The tuned full-plane config (slab=32, inner=4) must match the XLA twin.
     rng = np.random.default_rng(5)

@@ -1,8 +1,16 @@
-"""Per-pass TPU profiling at the flagship config.
+"""Composed-prefix TPU profiling at the flagship (or any cubic) config.
 
-Times each pass by chaining `reps` dispatches and forcing completion with a
-single tiny fetch (block_until_ready is unreliable on the axon relay), so
-per-call overhead amortizes away.
+Methodology (CLAUDE.md, "Axon relay measurement"): standalone pass timings
+carry 1-4 ms of variable dispatch+sync jitter on the axon relay, so passes
+are timed as COMPOSED PREFIXES of the full frame inside one jit --
+P0 = sim, P1 = sim+light, P2 = sim+light+march, P3 = full frame -- and the
+per-pass cost is the delta between consecutive prefixes.  A trivial-jit
+canary brackets the run: healthy ~0.8-1.3 ms/call; multi-second readings
+mean the relay is degraded/wedged and NOTHING from the run is trustworthy.
+
+Completion is forced with a tiny device->host fetch (block_until_ready may
+return early on the relay).  Each prefix reports the best of three 60-step
+trials (relay jitter isolation, same as bench.py).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_tpu.py [N]
 """
@@ -16,22 +24,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def sync(x):
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf.ravel()[:4])
+    np.asarray(np.asarray(leaf).ravel()[:4])
 
 
-def timed(name, f, *args, reps=10):
-    out = f(*args)
-    sync(out)
+def canary(tag):
+    x = jnp.zeros((256, 256), jnp.float32)
+    f = jax.jit(lambda a: a * 2.0 + 1.0)
+    x = f(x)
+    sync(x)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = f(*args)
+    for _ in range(50):
+        x = f(x)
+    sync(x)
+    ms = (time.perf_counter() - t0) / 50 * 1000
+    health = "healthy" if ms < 2.5 else "DEGRADED -- discard this run"
+    print(f"canary ({tag}): {ms:.3f} ms/call  [{health}]", flush=True)
+
+
+def best_of(step, state, params, trials=3, steps=60, warm=120):
+    t0 = time.perf_counter()
+    state, out = step(state, params)
     sync(out)
-    dt = (time.perf_counter() - t0) / reps * 1000
-    print(f"{name:40s} {dt:8.2f} ms", flush=True)
-    return out
+    print(f"  compile+1: {time.perf_counter()-t0:.1f}s", flush=True)
+    for _ in range(warm):
+        state, out = step(state, params)
+    sync(out)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, out = step(state, params)
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best * 1000
 
 
 def main():
@@ -39,51 +70,75 @@ def main():
     from fluidx12_tpu.core import math3d as m3
     from fluidx12_tpu.core.camera import OrbitCamera
     from fluidx12_tpu.core.config import FluidConfig
+    from fluidx12_tpu.core.lod import screen_bbox
     from fluidx12_tpu.core.state import default_scene_params, make_initial_state
     from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
     from fluidx12_tpu.render.resolve import resolve_cube
     from fluidx12_tpu.render.slicecomp import ray_march_cube_fast
-    from fluidx12_tpu.sim.advect_fast import advect_fast
-    from fluidx12_tpu.sim.project import project
+    from fluidx12_tpu.sim.step import simulate
+    from fluidx12_tpu.utils.image import composite_premultiplied
 
-    cfg = FluidConfig(grid_size=(n, n, n))
-    cam = OrbitCamera()
-    world = m3.scaling(10.0)
-    wvp = world @ cam.view_proj
-    params = default_scene_params(cfg)._replace(
-        eye_pt=jnp.asarray(cam.eye), world=jnp.asarray(world),
-        world_i=jnp.asarray(m3.inverse(world)), world_view_proj=jnp.asarray(wvp),
+    config = FluidConfig(grid_size=(n, n, n))
+    camera = OrbitCamera(width=config.viewport[0], height=config.viewport[1])
+    world = m3.scaling(config.volume_scale)
+    wvp = world @ camera.view_proj
+    params = default_scene_params(config)._replace(
+        eye_pt=jnp.asarray(camera.eye),
+        world=jnp.asarray(world),
+        world_i=jnp.asarray(m3.inverse(world)),
+        world_view_proj=jnp.asarray(wvp),
         world_view_proj_i=jnp.asarray(m3.inverse(wvp)),
-        screen_to_world=jnp.asarray(m3.inverse(cam.view_proj)))
-    state = make_initial_state(cfg)
+        screen_to_world=jnp.asarray(m3.inverse(camera.view_proj)),
+    )
+    rect = screen_bbox(wvp, config.viewport)
+    state0 = make_initial_state(config)
+    state_np = jax.device_get(state0)
     print(f"== grid {n}^3, backend {jax.default_backend()} ==", flush=True)
+    canary("before")
 
-    adv = jax.jit(lambda s: advect_fast(s.velocity, s.color, cfg.time_step, cfg))
-    vel_col = timed("advect_fast", adv, state)
-    prj = jax.jit(lambda v, q: project(v, q, cfg.time_step, cfg))
-    v2, q2 = timed("project (pallas jacobi)", prj, vel_col[0], state.pressure)
+    def p0(state, params):
+        state = simulate(state, params.time_step, config)
+        return state, state.fields[0]
 
-    grid = vel_col[1]
-    lm_f = jax.jit(lambda g: render_light_map_fast(g, params, cfg))
-    lm = timed("light map (shear+cumsum)", lm_f, grid)
-    cm_f = jax.jit(lambda g, l: ray_march_cube_fast(g, params, cfg, l))
-    cube = timed("cube march (bulk einsum)", cm_f, grid, lm)
-    rs_f = jax.jit(lambda c: resolve_cube(c, params, cfg))
-    timed("resolve 800x800 (record gather)", rs_f, cube)
+    def p1(state, params):
+        state = simulate(state, params.time_step, config)
+        lm = render_light_map_fast(state.color, params, config)
+        return state, lm
 
-    from __graft_entry__ import entry
+    def p2(state, params):
+        state = simulate(state, params.time_step, config)
+        lm = render_light_map_fast(state.color, params, config)
+        cube = ray_march_cube_fast(state.color, params, config, lm, lod=0)
+        return state, cube
 
-    fn, (st, pp) = entry()
-    step = jax.jit(fn, donate_argnums=(0,))
-    st, img = step(st, pp)
-    sync(img)
-    t0 = time.perf_counter()
-    N = 30
-    for _ in range(N):
-        st, img = step(st, pp)
-    sync(img)
-    dt = (time.perf_counter() - t0) / N
-    print(f"{'FULL STEP':40s} {dt*1000:8.2f} ms  => {1/dt:6.1f} steps/s", flush=True)
+    def p3(state, params):
+        state = simulate(state, params.time_step, config)
+        lm = render_light_map_fast(state.color, params, config)
+        cube = ray_march_cube_fast(state.color, params, config, lm, lod=0)
+        rgba = resolve_cube(cube, params, config, rect=rect)
+        bg = jnp.broadcast_to(
+            jnp.asarray(config.clear_color[:3], rgba.dtype),
+            rgba.shape[:-1] + (3,))
+        return state, composite_premultiplied(rgba, bg)
+
+    results = {}
+    for name, fn in (("P0 sim", p0), ("P1 +light", p1), ("P2 +march", p2),
+                     ("P3 full", p3)):
+        step = jax.jit(fn, donate_argnums=(0,))
+        s = jax.device_put(state_np)
+        print(f"{name}:", flush=True)
+        results[name] = best_of(step, s, params)
+        print(f"  {results[name]:.2f} ms/step", flush=True)
+
+    print("\n== composed-prefix deltas ==", flush=True)
+    prev = 0.0
+    for name in ("P0 sim", "P1 +light", "P2 +march", "P3 full"):
+        ms = results[name]
+        print(f"{name:12s} {ms:7.2f} ms  (delta {ms-prev:+.2f} ms)", flush=True)
+        prev = ms
+    print(f"headline equivalent: {1000/results['P3 full']:.1f} steps/s",
+          flush=True)
+    canary("after")
 
 
 if __name__ == "__main__":

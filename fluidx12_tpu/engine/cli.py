@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", type=int, default=1,
                    help="render method 0..3 (ref hotkeys Left/Right)")
     p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--batch", type=int, default=1, metavar="K",
+                   help="frames per device dispatch (lax.scan throughput "
+                        "mode for headless runs; ignored with --interactive)")
     p.add_argument("--screenshot", type=str, default=None,
                    help="PNG path; {frame} is substituted (ref hotkey F11)")
     p.add_argument("--screenshot-every", type=int, default=None)
@@ -122,10 +125,10 @@ def main(argv=None) -> int:
 
         with jax.profiler.trace(args.profile):
             loop.run(args.frames, args.screenshot, args.screenshot_every,
-                     interactive=args.interactive)
+                     interactive=args.interactive, batch=args.batch)
     else:
         loop.run(args.frames, args.screenshot, args.screenshot_every,
-                 interactive=args.interactive)
+                 interactive=args.interactive, batch=args.batch)
 
     if args.checkpoint:
         save_state(args.checkpoint, engine.state)

@@ -134,7 +134,7 @@ class FluidXEngine:
     # ------------------------------------------------------------------
     def _build_program(self, method: RenderMethod, lod: int,
                        vis_mask: Optional[int] = None,
-                       plane_spec=None, rect=None):
+                       plane_spec=None, rect=None, batch: int = 1):
         cfg = self.config
         has_probe = self.sh_coeffs is not None
 
@@ -218,14 +218,37 @@ class FluidXEngine:
             image = composite_premultiplied(rgba, bg)
             return state, jnp.clip(image, 0.0, 1.0)
 
-        return jax.jit(step_and_render, donate_argnums=(0,))
+        if batch == 1:
+            return jax.jit(step_and_render, donate_argnums=(0,))
+
+        # Throughput mode: `batch` whole frames under one lax.scan, ONE
+        # device dispatch.  The axon/PCIe dispatch+sync overhead (~1-2 ms,
+        # variable) amortizes across the batch -- the TPU analog of the
+        # reference recording several frames' command lists before a single
+        # ExecuteCommandLists.  Per-frame params are loop-invariant by
+        # construction (a static camera reuses the packed upload and
+        # base_seed is a parity-only field), so the scan is EXACTLY `batch`
+        # sequential frames; every frame's image is computed and returned
+        # as a stacked (batch, H, W, 3) array.
+        def step_and_render_batched(state: FluidState, packed_params,
+                                    sh_coeffs, radiance):
+            def body(carry, _):
+                carry, image = step_and_render(carry, packed_params,
+                                               sh_coeffs, radiance)
+                return carry, image
+
+            state, images = jax.lax.scan(body, state, None, length=batch)
+            return state, images
+
+        return jax.jit(step_and_render_batched, donate_argnums=(0,))
 
     def _program(self, method: RenderMethod, lod: int,
-                 vis_mask: Optional[int] = None, plane_spec=None, rect=None):
-        key = (method, lod, vis_mask, plane_spec, rect)
+                 vis_mask: Optional[int] = None, plane_spec=None, rect=None,
+                 batch: int = 1):
+        key = (method, lod, vis_mask, plane_spec, rect, batch)
         if key not in self._programs:
             self._programs[key] = self._build_program(method, lod, vis_mask,
-                                                      plane_spec, rect)
+                                                      plane_spec, rect, batch)
         return self._programs[key]
 
     def _screen_rect(self):
@@ -284,6 +307,25 @@ class FluidXEngine:
         self.state, image = program(self.state, params, self.sh_coeffs, self.radiance)
         self.frame_index += 1
         return image
+
+    def step_frames(self, k: int) -> jax.Array:
+        """`k` frames in ONE device dispatch; returns (k, H, W, 3) images.
+
+        Scan-batched throughput mode (see _build_program): identical frame
+        semantics to `k` step_frame() calls with a static camera, minus
+        `k - 1` host round-trips.  Use for headless / offline rendering;
+        the interactive loop keeps k=1 so hotkeys act between frames."""
+        if k <= 1:
+            return self.step_frame()[None]
+        params, lod, vis_mask = self.update_frame()
+        plane_spec = (self._direct_plane_spec(lod)
+                      if not self.render_method.uses_cube_map else None)
+        program = self._program(self.render_method, lod, vis_mask, plane_spec,
+                                self._screen_rect(), batch=k)
+        self.state, images = program(self.state, params, self.sh_coeffs,
+                                     self.radiance)
+        self.frame_index += k
+        return images
 
     # -- hotkey analogs (ref: FluidX12.cpp:311-334) ---------------------
     def toggle_pause(self):

@@ -97,19 +97,56 @@ class FrameLoop:
 
     def run(self, num_frames: int, screenshot_path: Optional[str] = None,
             screenshot_every: Optional[int] = None,
-            interactive: bool = False) -> Optional[np.ndarray]:
+            interactive: bool = False, batch: int = 1) -> Optional[np.ndarray]:
         """Run `num_frames`; returns the last frame as uint8 (H, W, 3).
 
         With interactive=True and a TTY on stdin, live hotkeys mirror the
         reference (OnKeyUp, FluidX12.cpp:311-334): Space pause, f/F1 FPS
         readout, ←/→ render method, s/F11 screenshot, x fast↔faithful
-        stack, q quit early."""
+        stack, q quit early.
+
+        batch > 1 dispatches that many frames per device call
+        (FluidXEngine.step_frames) for headless throughput; interactive
+        runs ignore it so hotkeys keep per-frame granularity."""
         keys = _KeyPoller() if interactive else None
         try:
+            if batch > 1 and keys is None:
+                return self._run_batched(num_frames, screenshot_path,
+                                         screenshot_every, batch)
             return self._run(num_frames, screenshot_path, screenshot_every, keys)
         finally:
             if keys is not None:
                 keys.close()
+
+    def _run_batched(self, num_frames, screenshot_path, screenshot_every,
+                     batch):
+        last = None
+        done = 0
+        while done < num_frames:
+            k = min(batch, num_frames - done)
+            images = self.engine.step_frames(k)
+            self._in_flight.append(images)
+            if len(self._in_flight) > self.FRAMES_IN_FLIGHT:
+                self._in_flight.popleft().block_until_ready()
+            for j in range(k):
+                self._tick_fps()
+                frame = done + j + 1
+                if screenshot_every and frame % screenshot_every == 0 and screenshot_path:
+                    path = screenshot_path.format(frame=frame)
+                    write_png(path, to_srgb_u8(np.asarray(images[j])))
+            prev = done
+            done += k
+            if self.watchdog_every and (done // self.watchdog_every
+                                        > prev // self.watchdog_every):
+                self._watchdog()
+            last = images[-1]
+        if last is not None:
+            last.block_until_ready()
+            arr = to_srgb_u8(np.asarray(last))
+            if screenshot_path and not screenshot_every:
+                write_png(screenshot_path.format(frame=self.engine.frame_index), arr)
+            return arr
+        return None
 
     def _run(self, num_frames, screenshot_path, screenshot_every, keys):
         image = None

@@ -252,3 +252,36 @@ def test_unaligned_and_noncubic_grids_end_to_end():
         assert img.shape == (32, 32, 3), grid
         assert np.isfinite(img).all(), grid
         assert np.isfinite(np.asarray(engine.state.color)).all(), grid
+
+
+def test_scan_batched_frames_match_sequential(tmp_path):
+    """step_frames(k) (one lax.scan dispatch) must reproduce k sequential
+    step_frame() calls exactly: with a static camera the packed params are
+    loop-invariant, so the scan body IS the per-frame program.  Also
+    exercises the batched FrameLoop (screenshots + frame accounting)."""
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(24, 24),
+                      max_ray_samples=8, max_light_samples=4,
+                      num_pressure_iters=4)
+    seq = FluidXEngine(cfg)
+    seq_imgs = [np.asarray(seq.step_frame()) for _ in range(4)]
+
+    bat = FluidXEngine(cfg)
+    bat_imgs = np.asarray(bat.step_frames(4))
+    assert bat_imgs.shape == (4,) + seq_imgs[0].shape
+    assert bat.frame_index == 4
+    for j in range(4):
+        np.testing.assert_allclose(bat_imgs[j], seq_imgs[j],
+                                   atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(bat.state.fields, np.float32),
+        np.asarray(seq.state.fields, np.float32), atol=1e-3, rtol=1e-2)
+
+    # Batched loop: screenshots land on the requested frames and the run
+    # returns the final frame.
+    loop_engine = FluidXEngine(cfg)
+    loop = FrameLoop(loop_engine, show_fps=False)
+    shot = str(tmp_path / "f{frame}.png")
+    img = loop.run(6, screenshot_path=shot, screenshot_every=3, batch=4)
+    assert img.shape == (24, 24, 3)
+    assert loop_engine.frame_index == 6
+    assert (tmp_path / "f3.png").exists() and (tmp_path / "f6.png").exists()

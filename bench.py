@@ -30,6 +30,46 @@ def _sync(x):
     np.asarray(x.ravel()[:4])
 
 
+def _canary_ms():
+    """Trivial-jit chained call rate; the relay-health probe.
+
+    Healthy: ~0.8-1.3 ms/call.  Multi-second readings (or a multi-minute
+    first call) mean the axon relay is wedged/degraded -- a state external
+    sessions can induce (a client killed mid-compile poisons the shared
+    remote-compile service for ~1 h, CLAUDE.md) -- and any timing taken
+    through it understates the chip by integer factors."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jnp.zeros((256, 256), jnp.float32)
+    f = jax.jit(lambda a: a * 2.0 + 1.0)
+    x = f(x)
+    np.asarray(x.ravel()[:4])
+    t0 = time.perf_counter()
+    for _ in range(50):
+        x = f(x)
+    np.asarray(x.ravel()[:4])
+    return (time.perf_counter() - t0) / 50 * 1000
+
+
+def _wait_for_healthy_relay(budget_s=900.0, threshold_ms=2.5):
+    """Poll the canary until the relay looks healthy or the budget runs out.
+
+    Returns the last canary reading (ms/call).  The first probe itself can
+    block for minutes behind a wedged compile queue; that wait counts
+    against the budget naturally."""
+    deadline = time.perf_counter() + budget_s
+    while True:
+        ms = _canary_ms()
+        healthy = ms < threshold_ms
+        print(f"# relay canary: {ms:.3f} ms/call "
+              f"[{'healthy' if healthy else 'degraded'}]", file=sys.stderr)
+        if healthy or time.perf_counter() > deadline:
+            return ms
+        time.sleep(30.0)
+
+
 def main():
     import jax
 
@@ -40,6 +80,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+    canary_ms = _wait_for_healthy_relay()
 
     from __graft_entry__ import entry
 
@@ -83,6 +125,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 3),
         "method": "best of 3x60-step trials (relay-jitter isolation)",
+        "relay_canary_ms": round(canary_ms, 3),
     }
 
     if "--all" in sys.argv:

@@ -30,41 +30,68 @@ def _sync(x):
     np.asarray(x.ravel()[:4])
 
 
+_CANARY_CODE = """
+import time
+import jax, jax.numpy as jnp, numpy as np
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+x = jnp.zeros((256, 256), jnp.float32)
+f = jax.jit(lambda a: a * 2.0 + 1.0)
+x = f(x)
+np.asarray(x.ravel()[:4])
+t0 = time.perf_counter()
+for _ in range(50):
+    x = f(x)
+np.asarray(x.ravel()[:4])
+print("CANARY_MS", (time.perf_counter() - t0) / 50 * 1000, flush=True)
+"""
+
+
 def _canary_ms():
-    """Trivial-jit chained call rate; the relay-health probe.
+    """Trivial-jit chained call rate (ms/call) or None; the relay-health
+    probe, run in a SUBPROCESS.
 
     Healthy: ~0.8-1.3 ms/call.  Multi-second readings (or a multi-minute
     first call) mean the axon relay is wedged/degraded -- a state external
     sessions can induce (a client killed mid-compile poisons the shared
-    remote-compile service for ~1 h, CLAUDE.md) -- and any timing taken
-    through it understates the chip by integer factors."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    remote-compile service for ~1 h, CLAUDE.md).  A subprocess keeps the
+    probe's backend state out of this process: a relay that is fully DOWN
+    fails backend init, and jax caches that failure per process -- probing
+    in-process would leave bench unable to ever init the backend after
+    recovery.  No timeout: killing a relay client mid-compile is what
+    wedges the service in the first place; a down relay returns the init
+    error on its own (observed ~25 min worst case)."""
+    import subprocess
 
-    x = jnp.zeros((256, 256), jnp.float32)
-    f = jax.jit(lambda a: a * 2.0 + 1.0)
-    x = f(x)
-    np.asarray(x.ravel()[:4])
-    t0 = time.perf_counter()
-    for _ in range(50):
-        x = f(x)
-    np.asarray(x.ravel()[:4])
-    return (time.perf_counter() - t0) / 50 * 1000
+    r = subprocess.run([sys.executable, "-c", _CANARY_CODE],
+                       capture_output=True, text=True)
+    for line in r.stdout.splitlines():
+        if line.startswith("CANARY_MS"):
+            return float(line.split()[1])
+    tail = (r.stderr or "").strip().splitlines()
+    print(f"# relay canary subprocess failed (rc {r.returncode}): "
+          f"{tail[-1] if tail else '?'}", file=sys.stderr)
+    return None
 
 
 def _wait_for_healthy_relay(budget_s=900.0, threshold_ms=2.5):
     """Poll the canary until the relay looks healthy or the budget runs out.
 
-    Returns the last canary reading (ms/call).  The first probe itself can
-    block for minutes behind a wedged compile queue; that wait counts
-    against the budget naturally."""
+    Returns the last canary reading (ms/call; None = backend unavailable).
+    A single probe can itself block for many minutes behind a wedged
+    compile queue; that wait counts against the budget naturally."""
     deadline = time.perf_counter() + budget_s
     while True:
         ms = _canary_ms()
-        healthy = ms < threshold_ms
-        print(f"# relay canary: {ms:.3f} ms/call "
-              f"[{'healthy' if healthy else 'degraded'}]", file=sys.stderr)
+        healthy = ms is not None and ms < threshold_ms
+        state = ("healthy" if healthy
+                 else "DOWN" if ms is None else "degraded")
+        print(f"# relay canary: "
+              f"{'n/a' if ms is None else f'{ms:.3f} ms/call'} [{state}]",
+              file=sys.stderr)
         if healthy or time.perf_counter() > deadline:
             return ms
         time.sleep(30.0)
@@ -125,7 +152,8 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 3),
         "method": "best of 3x60-step trials (relay-jitter isolation)",
-        "relay_canary_ms": round(canary_ms, 3),
+        "relay_canary_ms": (None if canary_ms is None
+                            else round(canary_ms, 3)),
     }
 
     if "--all" in sys.argv:

@@ -165,24 +165,33 @@ def main():
     print(json.dumps(result))
 
 
-def _time_engine(engine, warm=20, n=15, trials=3):
+def _time_engine(engine, warm=20, n=15, trials=3, batch=1):
     """Best of `trials` timing windows -- same methodology as the headline
     (the axon relay adds 1-4 ms of per-window jitter unrelated to device
-    throughput; a single window overstates ms/step by jitter/n)."""
+    throughput; a single window overstates ms/step by jitter/n).
+
+    batch > 1 drives engine.step_frames(batch) (scan-batched dispatch);
+    warm/n stay in UNITS OF FRAMES so the timed work matches the per-step
+    cases."""
     import numpy as np
 
-    img = engine.step_frame()
+    def do():
+        return (engine.step_frames(batch) if batch > 1
+                else engine.step_frame())
+
+    img = do()
     np.asarray(img.ravel()[:4])
-    for _ in range(warm):
-        img = engine.step_frame()
+    for _ in range(max(1, warm // batch)):
+        img = do()
     np.asarray(img.ravel()[:4])
     best = float("inf")
+    calls = max(1, n // batch)
     for _ in range(trials):
         t0 = time.perf_counter()
-        for _ in range(n):
-            img = engine.step_frame()
+        for _ in range(calls):
+            img = do()
         np.asarray(img.ravel()[:4])
-        best = min(best, (time.perf_counter() - t0) / n)
+        best = min(best, (time.perf_counter() - t0) / (calls * batch))
     return best
 
 
@@ -203,6 +212,8 @@ def run_config_suite():
          RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
         ("Fluid3D 128^3 separate cube (OPTIMIZED)", FluidConfig(),
          RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
+        ("Fluid3D 128^3 separate cube (batched k=8)", FluidConfig(),
+         RenderMethod.RAY_MARCH_SEPARATE, None, 24, 16, 8),
         ("Fluid3D 128^3 direct ray cast (screen-space)", FluidConfig(),
          RenderMethod.RAY_MARCH_DIRECT_SEPARATE, None, 20, 15),
         ("Fluid3D 128^3 @1080p", FluidConfig(viewport=(1920, 1080)),
@@ -213,12 +224,13 @@ def run_config_suite():
             grid_size=(256, 256, 256), has_light_probe=True),
          RenderMethod.RAY_MARCH_SEPARATE, gi_radiance, 10, 10),
     ]
-    for name, cfg, method, rad, warm, n in cases:
+    for name, cfg, method, rad, warm, n, *extra in cases:
         try:
             radiance = rad() if rad is not None else None
             engine = FluidXEngine(cfg, radiance=radiance)
             engine.render_method = method
-            dt = _time_engine(engine, warm=warm, n=n)
+            dt = _time_engine(engine, warm=warm, n=n,
+                              batch=extra[0] if extra else 1)
             print(f"# {name}: {dt*1000:.2f} ms/step = {1/dt:.1f} steps/s",
                   file=sys.stderr)
         except Exception as e:  # keep the suite best-effort

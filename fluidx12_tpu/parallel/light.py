@@ -25,6 +25,12 @@ and only the cumsum crosses slices, so under Z-slab sharding:
   means no Z mixing at all -- the plain single-device sweep runs unchanged
   on the local slab.  Zero communication.
 
+- **Point lights** (sharded_point_transmittance): the projective sweep's
+  ray-slope frame is a function of GLOBAL constants only (light position +
+  grid sizes), so the same two layouts apply verbatim -- slab-local slices
+  + one-plane prefix when the light is z-major, pooled all_to_all reshard
+  when lateral-major.
+
 GI ambient is sharded with the same pieces: local half-res restriction, a
 1-plane-halo gradient (exact jnp.gradient edge semantics), six sharded AO
 sweeps, the z-lerp prolongation with a 1-plane coarse halo, and the local
@@ -49,9 +55,11 @@ from fluidx12_tpu.parallel.mesh import Z_AXIS
 from fluidx12_tpu.render.raymarch_core import MAX_DIST
 from fluidx12_tpu.render.lightmap_sweep import (
     _sweep_pooled,
+    _sweep_pooled_point,
     directional_transmittance,
     fallback_normal_dirs,
     gi_ambient_from_parts,
+    point_sweep_supported,
 )
 
 
@@ -91,9 +99,9 @@ def sharded_light_supported(config: FluidConfig, n_dev: int) -> bool:
     zg, y, x = config.zyx
     if zg % n_dev:
         return False
-    if config.point_light:
-        # The projective point sweep is not decomposed yet; the fallback
-        # replicated sweep handles it (render_light_map_fast).
+    if config.point_light and not point_sweep_supported(config):
+        # An in-volume point light falls back to the faithful paths at the
+        # engine layer; the replicated sweep handles anything else.
         return False
     zl = zg // n_dev
     lp = np.asarray(config.light_pos, np.float32)
@@ -187,6 +195,89 @@ def sharded_directional_transmittance(
         k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
         prefix_fn=prefix_fn(k0))
     # (m_l, zg, lat) -> (n_s, zl, lat) and unpool locally.
+    transm = jax.lax.all_to_all(transm, Z_AXIS, split_axis=1, concat_axis=0,
+                                tiled=True)
+    eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx"}[major_axis]
+    return jnp.einsum(eq_up, transm.astype(mx), up.astype(mx),
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+def sharded_point_transmittance(
+    dens_local: jax.Array,    # (zl, Y, X) local Z-slab, inside shard_map
+    light_local: jax.Array,   # (3,) local-space light POSITION
+    major_axis: int,          # static 0/1/2
+    ref_step: jax.Array,
+    absorption: float,
+    flip: bool,               # static sign of light_pos[major_axis]
+    max_slices: int = 128,
+) -> jax.Array:
+    """Per-voxel transmittance toward a POINT light on a Z-sharded density.
+
+    The projective sweep decomposes exactly like the directional one: its
+    w-frame (ray-slope grid) and all projective scalars are functions of
+    GLOBAL constants only (light position, global sizes), so each shard
+    shears its own slices into the same frame and the cross-shard term is
+    the one-plane exclusive prefix of slab sums.  Same two layouts:
+    z-major = slab-local slices + prefix; lateral-major = pooled all_to_all
+    reshard to complete slices.  Ref: the dormant _POINT_LIGHT_ mode,
+    RayMarch.hlsli:40, CSRayMarch.hlsl:131."""
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    dtype = dens_local.dtype
+    zl, y, x = dens_local.shape
+    zg = zl * n
+    sizes = (x, y, zg)
+    n_m = sizes[major_axis]
+    stride = max(-(-n_m // max_slices), 1)
+    n_s = n_m // stride
+    mx = _mxu()
+
+    def prefix_fn(k0, k0_of):
+        def fn(slab_sum):
+            sums = jax.lax.all_gather(slab_sum, Z_AXIS)   # (n, W_a, W_b)
+            k0_all = k0_of(jnp.arange(n))
+            mask = (k0_all < k0).astype(sums.dtype)[:, None, None]
+            return (sums * mask).sum(axis=0)
+
+        return fn
+
+    if major_axis == 2:
+        # Slab-local slices: pool my zl rows into my m_l flipped slices.
+        m_l = zl // stride
+        pool, up = _pool_mats(zl, m_l, stride, dtype, flip)
+
+        def _k0_of(j):
+            return (n_s - (j + 1) * m_l) if flip else j * m_l
+
+        dens_o = jnp.einsum("zyx,zm->myx", dens_local.astype(mx),
+                            pool.astype(mx),
+                            preferred_element_type=jnp.float32).astype(dtype)
+        k0 = _k0_of(idx)
+        transm = _sweep_pooled_point(
+            dens_o, light_local, major_axis, sizes, stride, ref_step,
+            absorption, flip, k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
+            prefix_fn=prefix_fn(k0, _k0_of), n_s_global=n_s)
+        return jnp.einsum("myx,mz->zyx", transm.astype(mx), up.astype(mx),
+                          preferred_element_type=jnp.float32).astype(dtype)
+
+    # Lateral-major sweep: reshard pooled slices via all_to_all so each
+    # device owns m_l COMPLETE slices (full z extent), then prefix as above.
+    m_l = n_s // n
+    pool, up = _pool_mats(n_m, n_s, stride, dtype, flip)
+    eq = {0: "zyx,xm->mzy", 1: "zyx,ym->mzx"}[major_axis]
+    dens_o = jnp.einsum(eq, dens_local.astype(mx), pool.astype(mx),
+                        preferred_element_type=jnp.float32).astype(dtype)
+    dens_o = jax.lax.all_to_all(dens_o, Z_AXIS, split_axis=0, concat_axis=1,
+                                tiled=True)
+
+    def _k0_of(j):
+        return j * m_l
+
+    k0 = _k0_of(idx)
+    transm = _sweep_pooled_point(
+        dens_o, light_local, major_axis, sizes, stride, ref_step, absorption,
+        flip, k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
+        prefix_fn=prefix_fn(k0, _k0_of), n_s_global=n_s)
     transm = jax.lax.all_to_all(transm, Z_AXIS, split_axis=1, concat_axis=0,
                                 tiled=True)
     eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx"}[major_axis]
@@ -302,15 +393,27 @@ def sharded_light_map(
     density = grid_local[3].astype(dtype)
     zl = density.shape[0]
 
-    local_light = transform_vector(params.light_pt, params.world_i)
-    light_dir = (local_light / jnp.linalg.norm(local_light)).astype(dtype)
     lp = np.asarray(config.light_pos, np.float32)
     major_axis = int(np.argmax(np.abs(lp)))
     flip = bool(lp[major_axis] > 0)
 
     ref_step = MAX_DIST / params.num_light_samples.astype(dtype)
-    shadow = sharded_directional_transmittance(
-        density, light_dir, major_axis, ref_step, config.absorption, flip)
+    if config.point_light:
+        # Projective sweep about the light position (mirrors the
+        # render_light_map_fast point branch; sharded_light_supported
+        # already required point_sweep_supported).
+        from fluidx12_tpu.ops.transform import transform_point_h
+
+        light_pos_local = transform_point_h(
+            params.light_pt, params.world_i)[:3].astype(dtype)
+        shadow = sharded_point_transmittance(
+            density, light_pos_local, major_axis, ref_step,
+            config.absorption, flip)
+    else:
+        local_light = transform_vector(params.light_pt, params.world_i)
+        light_dir = (local_light / jnp.linalg.norm(local_light)).astype(dtype)
+        shadow = sharded_directional_transmittance(
+            density, light_dir, major_axis, ref_step, config.absorption, flip)
 
     env3 = (params.light_color[:3] * params.light_color[3])[:, None, None, None]
     dense = density >= config.zero_threshold

@@ -150,6 +150,9 @@ def _sweep_pooled_point(
     ref_step: jax.Array,
     absorption: float,
     flip: bool,               # static; light on the + side of the major axis
+    k_ids: Optional[jax.Array] = None,  # (m_l,) GLOBAL flipped slice ids
+    prefix_fn=None,           # callable(slab_sum (W_a, W_b)) -> prefix
+    n_s_global: Optional[int] = None,
 ):
     """Projective (point-light) shear sweep on a pooled slice-major block.
 
@@ -168,6 +171,13 @@ def _sweep_pooled_point(
     slice denominator k - kL is positive and bounded away from zero.
     Ref: the dormant `_POINT_LIGHT_` mode, RayMarch.hlsli:40,
     CSRayMarch.hlsl:131 (per-voxel direction normalize(light - pos)).
+
+    k_ids / prefix_fn / n_s_global are the Z-sharding hooks (identical
+    contract to _sweep_pooled): the w-grid and all projective scalars are
+    functions of GLOBAL constants only, so a shard holding slices k_ids of
+    the global n_s_global computes its block in the same w frame and the
+    cross-shard term is prefix_fn of this shard's total sheared (and
+    ds-scaled) optical depth -- one (W_a, W_b) plane.
     """
     dtype = dens_o.dtype
     arr_to_local = {0: 2, 1: 1, 2: 0}
@@ -176,19 +186,21 @@ def _sweep_pooled_point(
     rem_local = [arr_to_local[a] for a in rem]
     n_m = sizes[major_axis]
     n_s, n_a, n_b = dens_o.shape
+    n_sg = n_s if n_s_global is None else n_s_global
     step_m = 2.0 * stride / n_m
 
     l_m = light_local[major_axis].astype(dtype)
     l_a = light_local[rem_local[0]].astype(dtype)
     l_b = light_local[rem_local[1]].astype(dtype)
     # Light in slice/lateral index coordinates (slice 0 nearest the light).
-    s_l = (l_m + 1.0) * 0.5 * n_s - 0.5
-    k_l = (n_s - 1.0 - s_l) if flip else s_l
+    s_l = (l_m + 1.0) * 0.5 * n_sg - 0.5
+    k_l = (n_sg - 1.0 - s_l) if flip else s_l
     k_l = jnp.minimum(k_l, -0.5)  # guarded by point_sweep_supported
     pl_a = (l_a + 1.0) * 0.5 * n_a - 0.5
     pl_b = (l_b + 1.0) * 0.5 * n_b - 0.5
 
-    k = jnp.arange(n_s, dtype=dtype)
+    k = (jnp.arange(n_s, dtype=dtype) if k_ids is None
+         else k_ids.astype(dtype))
     denom = k - k_l               # > 0.5 for every slice
 
     # w grids spanning every voxel-ray slope.  w = (p - pL)/(k - kL): both
@@ -200,7 +212,7 @@ def _sweep_pooled_point(
     W_a = 2 * n_a
     W_b = 2 * n_b
     den0 = -k_l
-    den1 = (n_s - 1.0) - k_l
+    den1 = (n_sg - 1.0) - k_l
 
     def w_bounds(pl, n_lat):
         cands = jnp.stack([(0.0 - pl) / den0, (0.0 - pl) / den1,
@@ -234,6 +246,8 @@ def _sweep_pooled_point(
     sheared = sheared * (ds / ref_step)[None]
 
     excl = jnp.cumsum(sheared, axis=0) - sheared
+    if prefix_fn is not None:
+        excl = excl + prefix_fn(sheared.sum(axis=0))[None]
 
     # Unshear: D[k, p] = E[k, (p - pL)/(k - kL) mapped onto the w grid].
     pa = jnp.arange(n_a, dtype=dtype)

@@ -131,6 +131,47 @@ def test_sharded_light_map_matches_replicated():
         np.testing.assert_allclose(out, ref, atol=2e-5, err_msg=str(light_pos))
 
 
+def test_sharded_point_light_map_matches_replicated():
+    """The decomposed PROJECTIVE sweep (point light) must reproduce the
+    single-device point path of render_light_map_fast for both layouts:
+    z-major (slab prefix) and lateral-major (all_to_all reshard)."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from fluidx12_tpu.parallel.light import (
+        sharded_light_map,
+        sharded_light_supported,
+    )
+    from fluidx12_tpu.parallel.mesh import Z_AXIS
+    from fluidx12_tpu.render.lightmap_sweep import (
+        point_sweep_supported,
+        render_light_map_fast,
+    )
+    from tests.test_fastpath import _smoke_grid
+    from tests.test_render import scene
+
+    mesh = make_grid_mesh()
+    grid = jnp.asarray(_smoke_grid(32))
+    for light_pos in [(10.0, 20.0, 75.0),    # major = z: slab-prefix path
+                      (75.0, 20.0, 30.0)]:   # major = x: all_to_all path
+        cfg = FluidConfig(grid_size=(32, 32, 32), viewport=(32, 32),
+                          use_pallas=False, point_light=True,
+                          light_pos=light_pos)
+        assert point_sweep_supported(cfg), light_pos
+        assert sharded_light_supported(cfg, 8), light_pos
+        params = scene(cfg)
+        ref = np.asarray(render_light_map_fast(grid, params, cfg))
+
+        f = functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(None, Z_AXIS, None, None),),
+            out_specs=P(None, Z_AXIS, None, None),
+        )(lambda g: sharded_light_map(g, params, cfg, None))
+        out = np.asarray(jax.jit(f)(grid))
+        # atol: the split cumsum (local excl + shard prefix) reassociates
+        # f32 sums; observed max 3e-5 on light values ~14 (rel ~3e-6).
+        np.testing.assert_allclose(out, ref, atol=1e-4, err_msg=str(light_pos))
+
+
 def test_sharded_gi_light_map_matches_replicated():
     """Sharded GI ambient (gradient + half-res 6-sweep AO + SH irradiance)
     vs the single-device XLA GI branch."""

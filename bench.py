@@ -115,10 +115,24 @@ def main():
     fn, (state, params) = entry()
     step = jax.jit(fn, donate_argnums=(0,))
 
-    # Warmup / compile.
+    # Warmup / compile.  If the backend is unavailable (relay outage: init
+    # blocks ~25 min then raises UNAVAILABLE), still emit an honest JSON
+    # line so the round's record shows WHY there is no number.
     t0 = time.perf_counter()
-    state, image = step(state, params)
-    _sync(image)
+    try:
+        state, image = step(state, params)
+        _sync(image)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "sim+render steps/sec @128^3 (separate-light cube-map path)",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {type(e).__name__}: {str(e)[:200]}",
+            "relay_canary_ms": (None if canary_ms is None
+                                else round(canary_ms, 3)),
+        }))
+        return
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-step: {compile_s:.1f}s", file=sys.stderr)
 

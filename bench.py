@@ -159,16 +159,59 @@ def main():
         print(f"# trial {trial}: {n / elapsed:.2f} steps/s", file=sys.stderr)
 
     steps_per_sec = best
+
+    # Secondary (disclosed, not the headline): scan-batched submission --
+    # K frames per device dispatch via lax.scan, bit-identical to sequential
+    # frames with a static camera (tests/test_engine.py cross-checks the
+    # engine form).  It amortizes the axon relay's ~1-2 ms per-dispatch
+    # overhead, so it approximates the chip's pace with a locally attached
+    # host; the headline stays per-step dispatch because the reference app
+    # presents every frame.
+    batched_sps = None
+    try:
+        import jax.numpy as jnp  # noqa: F401  (scan body traces fn)
+
+        k = 8
+
+        def kstep_fn(s, p):
+            def body(carry, _):
+                s2, img = fn(carry, p)
+                return s2, img
+
+            s_out, imgs = jax.lax.scan(body, s, None, length=k)
+            return s_out, imgs[-1]
+
+        kstep = jax.jit(kstep_fn, donate_argnums=(0,))
+        state, image = kstep(state, params)
+        _sync(image)
+        for _ in range(60 // k):
+            state, image = kstep(state, params)
+        _sync(image)
+        bb = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(64 // k):
+                state, image = kstep(state, params)
+            _sync(image)
+            bb = max(bb, 64 / (time.perf_counter() - t0))
+        batched_sps = bb
+        print(f"# batched (k={k}): {bb:.2f} steps/s", file=sys.stderr)
+    except Exception as e:
+        print(f"# batched case failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     baseline = 60.0
     result = {
         "metric": "sim+render steps/sec @128^3 (separate-light cube-map path)",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 3),
-        "method": "best of 3x60-step trials (relay-jitter isolation)",
+        "method": "best of 3x60-step trials (relay-jitter isolation); "
+                  "per-step dispatch (one device call per frame)",
         "relay_canary_ms": (None if canary_ms is None
                             else round(canary_ms, 3)),
     }
+    if batched_sps is not None:
+        result["batched_k8_steps_per_sec"] = round(batched_sps, 2)
 
     if "--all" in sys.argv:
         run_config_suite()

@@ -359,7 +359,7 @@ def run_pass_breakdown(n=256):
     vox = n ** 3
     half = 2  # bf16/f16 bytes
     state_b = 7 * vox * half + vox * 4
-    if n * n > 128 * 128:
+    if n * n >= cfg.mg_min_plane:
         # Multigrid pressure path (sim/mg.py): 2 fine smooth calls with
         # 1.875x window redundancy + residual (1-plane z edges) +
         # transfers + coarse cycle.

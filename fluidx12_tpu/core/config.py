@@ -113,13 +113,21 @@ class FluidConfig:
     pallas_advect: bool = True
     # - Jacobi slab kernel (roll-based sweeps): 4.8 ms vs 5.5 ms XLA
     pallas_jacobi: bool = True
-    # Multigrid pressure fast solver: on grids whose planes exceed 128x128
-    # (where the reference's 64-sweep schedule costs ~15 ms at 256^3), one
-    # V(4,4) cycle with 32 half-grid sweeps replaces the 64 Jacobi sweeps --
-    # ~3x faster AND a lower post-projection divergence (the coarse level
-    # removes the smooth error Jacobi cannot; cross-checked in
+    # Multigrid pressure fast solver: on grids with mg_min_plane or more
+    # plane cells (128x128 up -- the reference's 64-sweep schedule costs
+    # ~2.8 ms at 128^3 and ~15 ms at 256^3), one V(4,4) cycle with 32
+    # half-grid sweeps replaces the 64 Jacobi sweeps -- several times less
+    # fine-level work AND a lower post-projection divergence (the coarse
+    # level removes the smooth error Jacobi cannot; cross-checked in
     # tests/test_sim.py).  Smaller grids keep the reference schedule.
     mg_pressure: bool = True
+    # Smallest (Y * X) plane-cell count at which the multigrid solver
+    # engages.  128*128 planes (the flagship grid) measured better on BOTH
+    # axes on CPU twins -- V(4,4)+32 residual rms 0.0145 vs 0.0174 for the
+    # 64-sweep schedule at 128^3 -- and the V-cycle's fine-level work is
+    # ~4x less; grids below this keep the reference-faithful fixed
+    # iteration schedule.
+    mg_min_plane: int = 128 * 128
     # Use the TPU-native slice-reformulated render passes (lightmap sweep +
     # slice-compositing cube march) instead of the faithful per-ray gather
     # marchers.  ~1000x on TPU; cross-checked in tests/test_fastpath.py.

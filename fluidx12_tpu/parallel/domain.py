@@ -244,8 +244,8 @@ def _sharded_project(velocity, pressure, time_step, config: FluidConfig):
         # so multi-chip and single-device runs always pick the same
         # solver), plus an even LOCAL z for the shard-local restriction.
         use_mg = (config.fast_sim and config.mg_pressure and is_3d
-                  and ny * nx > 128 * 128 and mg_supported(config.zyx)
-                  and zl % 2 == 0)
+                  and ny * nx >= config.mg_min_plane
+                  and mg_supported(config.zyx) and zl % 2 == 0)
         if use_mg:
             q = _sharded_mg(q, div)
         else:

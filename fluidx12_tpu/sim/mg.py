@@ -22,9 +22,11 @@ interpolation matrices applied as MXU einsums on the trailing (lane/sublane)
 dims -- a reshape-based 2x box filter on the trailing dims would pay the
 (8, 128) tile-padding relayout (CLAUDE.md, XLA:TPU layout gotchas).
 
-Engaged by sim/project.py on grids whose planes exceed 128x128 (exactly
-where the 64-sweep schedule is expensive); the reference-faithful
-fixed-iteration path remains below that and on `fast_sim=False`.
+Engaged by sim/project.py on grids with at least 128x128-cell planes
+(config.mg_min_plane) -- the flagship 128^3 included: V(4,4)+32 measured a
+LOWER residual than the 64-sweep schedule there too (rms 0.0145 vs 0.0174
+on a plume-like rhs) at ~4x less fine-level work.  The reference-faithful
+fixed-iteration path remains below the threshold and on `fast_sim=False`.
 """
 
 from __future__ import annotations

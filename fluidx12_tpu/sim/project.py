@@ -148,10 +148,11 @@ def project(
         from fluidx12_tpu.sim.mg import mg_supported
 
         z, y, x = config.zyx
-        # Multigrid fast solver where the 64-sweep schedule is expensive
-        # (planes beyond the full-plane Jacobi kernel's reach); smaller
-        # grids keep the reference-faithful fixed-iteration relaxation.
-        use_mg = y * x > 128 * 128 and mg_supported(config.zyx)
+        # Multigrid fast solver on flagship-and-larger planes (better
+        # residual AND ~4x less fine-level work than the 64-sweep schedule,
+        # core/config.py mg_min_plane); smaller grids keep the
+        # reference-faithful fixed-iteration relaxation.
+        use_mg = y * x >= config.mg_min_plane and mg_supported(config.zyx)
 
     def run(args):
         flds, q = args

@@ -136,16 +136,18 @@ def test_mg_pressure_solver_beats_jacobi_residual():
     from fluidx12_tpu.sim.project import jacobi_sweeps
 
     rng = np.random.default_rng(0)
-    n = (16, 144, 144)
-    assert mg_supported(n)
-    b = rng.uniform(-1, 1, n).astype(np.float32)
-    for ax in range(3):
-        b = (np.roll(b, 1, ax) + b + np.roll(b, -1, ax)) / 3.0
-    b = jnp.asarray(b - b.mean())
-    q0 = jnp.zeros(n, jnp.float32)
-    r_j = np.abs(np.asarray(_residual(jacobi_sweeps(q0, b, 64, True), b))).mean()
-    r_m = np.abs(np.asarray(_residual(mg_solve(q0, b), b))).mean()
-    assert r_m <= r_j * 1.05, (r_m, r_j)
+    # Both mg-engaging plane classes: the flagship's 128x128 planes
+    # (config.mg_min_plane) and a larger non-power-of-two plane.
+    for n in ((16, 128, 128), (16, 144, 144)):
+        assert mg_supported(n)
+        b = rng.uniform(-1, 1, n).astype(np.float32)
+        for ax in range(3):
+            b = (np.roll(b, 1, ax) + b + np.roll(b, -1, ax)) / 3.0
+        b = jnp.asarray(b - b.mean())
+        q0 = jnp.zeros(n, jnp.float32)
+        r_j = np.abs(np.asarray(_residual(jacobi_sweeps(q0, b, 64, True), b))).mean()
+        r_m = np.abs(np.asarray(_residual(mg_solve(q0, b), b))).mean()
+        assert r_m <= r_j * 1.05, (n, r_m, r_j)
 
     # Transfer operators preserve the mean (no mass bias in the correction).
     r = jnp.asarray(rng.uniform(-1, 1, (16, 32, 32)).astype(np.float32))

@@ -433,6 +433,72 @@ def jacobi2d_pallas(pressure: jax.Array, div: jax.Array, iters: int) -> jax.Arra
     )(pressure, div)
 
 
+def _jacobi_packed_kernel(q_ref, b_ref, out_ref, *, iters: int):
+    """All `iters` sweeps of a (Z, Y, 64) volume packed as (Z, Y/2, 128).
+
+    nx = 64 volumes (the multigrid's coarse level under a 128^3 fine grid)
+    miss the 128-lane alignment every windowed kernel needs, so the coarse
+    relaxation fell back to XLA sweeps (each materializes its shifted
+    reads).  The whole coarse volume is ~1 MB: pack lane l = (y % 2) * 64
+    + x -- a PURE reshape, no relayout -- hold everything in VMEM, and run
+    the full sweep loop with zero HBM round trips.
+
+    Neighbor fetches in packed space (all static 32-bit rolls):
+      x+-1   in-half lane roll, edge-clamped at x = 0 / 63 of each half
+      y+-1   the other half (lane XOR 64 == roll by 64); odd->even also
+             steps one sublane row, edge-clamped at y = 0 / ny-1
+      z+-1   leading-dim shifts, edge-clamped
+    Update and clamp semantics match sim/project.jacobi_sweeps exactly.
+    """
+    q = q_ref[...]
+    b = b_ref[...]
+    nz, nr, nl = q.shape  # nl == 128, two 64-lane halves
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nl), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, nr, 1), 1)
+    x_hi = lane % 64 == 63
+    x_lo = lane % 64 == 0
+    h0 = lane < 64       # even y (y = 2r); odd y (y = 2r + 1) otherwise
+    top = row == 0
+    bot = row == nr - 1
+
+    def sweep(_, q):
+        rt = jnp.where(x_hi, q, pltpu.roll(q, nl - 1, 2))
+        lt = jnp.where(x_lo, q, pltpu.roll(q, 1, 2))
+        sw = pltpu.roll(q, 64, 2)                 # other half, same row
+        up_rows = pltpu.roll(sw, nr - 1, 1)       # row r + 1
+        dn_rows = pltpu.roll(sw, 1, 1)            # row r - 1
+        yp = jnp.where(h0, sw, jnp.where(bot, q, up_rows))
+        ym = jnp.where(h0, jnp.where(top, q, dn_rows), sw)
+        zp = jnp.concatenate([q[1:], q[-1:]], axis=0)
+        zm = jnp.concatenate([q[:1], q[:-1]], axis=0)
+        return (rt + lt + yp + ym + zp + zm - b) / 6.0
+
+    out_ref[...] = jax.lax.fori_loop(0, iters, sweep, q)
+
+
+def jacobi_packed_supported(shape) -> bool:
+    """(Z, Y, 64) f32 volumes whose packed form + ~7 live sweep temporaries
+    fit VMEM (nx = 64 exactly: the two-half lane packing)."""
+    nz, ny, nx = shape
+    return (nx == 64 and ny % 2 == 0 and nz >= 2
+            and nz * ny * nx * 4 * 9 <= 12 * 1024 * 1024)
+
+
+def jacobi_packed_pallas(pressure: jax.Array, div: jax.Array,
+                         iters: int) -> jax.Array:
+    """`iters` Jacobi sweeps of a (Z, Y, 64) f32 volume, whole-VMEM (see
+    _jacobi_packed_kernel)."""
+    nz, ny, nx = pressure.shape
+    qp = pressure.reshape(nz, ny // 2, 2 * nx)
+    bp = div.reshape(nz, ny // 2, 2 * nx)
+    out = pl.pallas_call(
+        functools.partial(_jacobi_packed_kernel, iters=iters),
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+    )(qp, bp)
+    return out.reshape(nz, ny, nx)
+
+
 def _plan(shape, slab: int, inner: int):
     """Choose (slab, ytile) for a (Z, Y, X) volume; None if unsupported."""
     nz, ny, nx = shape

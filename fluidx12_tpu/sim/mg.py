@@ -89,13 +89,21 @@ def _smooth(q: jax.Array, b: jax.Array, iters: int,
     """Jacobi sweeps: Pallas kernels when the shape/backend supports them
     (and the config's master switch allows), the XLA twin otherwise
     (identical update rule)."""
-    from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas, jacobi_tuning
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi_packed_pallas,
+        jacobi_packed_supported,
+        jacobi_pallas,
+        jacobi_tuning,
+    )
     from fluidx12_tpu.sim.project import jacobi_sweeps
 
-    tuning = (jacobi_tuning(q.shape, iters)
-              if use_pallas and jax.default_backend() == "tpu" else None)
+    on_tpu = use_pallas and jax.default_backend() == "tpu"
+    tuning = jacobi_tuning(q.shape, iters) if on_tpu else None
     if tuning is not None:
         return jacobi_pallas(q, b, iters, *tuning)
+    if on_tpu and jacobi_packed_supported(q.shape):
+        # nx = 64 coarse level (fine grid 128^3): whole volume in VMEM.
+        return jacobi_packed_pallas(q, b, iters)
     return jacobi_sweeps(q, b, iters, is_3d=True)
 
 

@@ -129,6 +129,25 @@ def test_jacobi_pallas_ytiled_matches_xla():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_jacobi_packed64_matches_xla():
+    """The whole-VMEM packed-lane kernel for nx = 64 volumes (the mg coarse
+    level under a 128^3 fine grid) must match the XLA sweeps exactly:
+    pack = reshape, neighbors = masked rolls across the two lane halves."""
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi_packed_pallas, jacobi_packed_supported)
+
+    assert jacobi_packed_supported((64, 64, 64))
+    assert not jacobi_packed_supported((64, 64, 128))   # aligned kernels
+    assert not jacobi_packed_supported((64, 63, 64))    # odd y cannot pack
+    rng = np.random.default_rng(11)
+    for shape in ((64, 64, 64), (16, 20, 64)):
+        q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ref = np.asarray(jacobi_sweeps(q, b, 6, True))
+        got = np.asarray(jacobi_packed_pallas(q, b, 6))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_jacobi_tuning_rejects_unaligned_tiled_halo():
     # Tiled-Y windows start at y0 - halo with a pl.multiple_of(lo_y, 8)
     # alignment hint; a halo that is not a multiple of 8 makes that hint a

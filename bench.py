@@ -161,15 +161,17 @@ def main():
     steps_per_sec = best
 
     # Secondary (disclosed, not the headline): scan-batched submission --
-    # K frames per device dispatch via lax.scan, bit-identical to sequential
-    # frames with a static camera (tests/test_engine.py cross-checks the
-    # engine form).  It amortizes the axon relay's ~1-2 ms per-dispatch
-    # overhead, so it approximates the chip's pace with a locally attached
-    # host; the headline stays per-step dispatch because the reference app
-    # presents every frame.
+    # K frames per device dispatch via lax.scan, same frame semantics as
+    # sequential per-step calls with a static camera (equality spot-checked
+    # on device below; batched_matches_sequential in the JSON).  It
+    # amortizes the axon relay's ~1-2 ms per-dispatch overhead, so it
+    # approximates the chip's pace with a locally attached host; the
+    # headline stays per-step dispatch because the reference app presents
+    # every frame.
     batched_sps = None
+    batched_exact = None
     try:
-        import jax.numpy as jnp  # noqa: F401  (scan body traces fn)
+        import numpy as np
 
         k = 8
 
@@ -182,8 +184,22 @@ def main():
             return s_out, imgs[-1]
 
         kstep = jax.jit(kstep_fn, donate_argnums=(0,))
-        state, image = kstep(state, params)
+        # On-device equality spot-check of THIS batched program against k
+        # sequential per-step calls from the same state (the engine's
+        # step_frames form has its own test; this one is what produces the
+        # reported field).
+        snap = jax.device_get(state)
+        s_seq = jax.device_put(snap)
+        for _ in range(k):
+            s_seq, img_seq = step(s_seq, params)
+        img_seq = jax.device_get(img_seq)
+        state, image = kstep(jax.device_put(snap), params)
         _sync(image)
+        d = np.abs(np.asarray(image, np.float32) - img_seq.astype(np.float32))
+        batched_exact = bool(d.max() == 0.0)
+        if not batched_exact:
+            print(f"# batched-vs-sequential max diff {d.max():.3e}",
+                  file=sys.stderr)
         for _ in range(60 // k):
             state, image = kstep(state, params)
         _sync(image)
@@ -212,6 +228,7 @@ def main():
     }
     if batched_sps is not None:
         result["batched_k8_steps_per_sec"] = round(batched_sps, 2)
+        result["batched_matches_sequential"] = batched_exact
 
     if "--all" in sys.argv:
         run_config_suite()

@@ -477,11 +477,16 @@ def _jacobi_packed_kernel(q_ref, b_ref, out_ref, *, iters: int):
 
 
 def jacobi_packed_supported(shape) -> bool:
-    """(Z, Y, 64) f32 volumes whose packed form + ~7 live sweep temporaries
-    fit VMEM (nx = 64 exactly: the two-half lane packing)."""
+    """(Z, Y, 64) f32 volumes whose packed form fits VMEM with the sweep
+    body's ~12 live full-volume values (9 neighbor temporaries + q + b +
+    the running sum; python-level temporaries stay live on Mosaic's scoped
+    stack).  nx = 64 exactly (the two-half lane packing), and the packed
+    row count ny/2 must be a multiple of the 8-row sublane tile -- every
+    hardware-proven sublane roll in this codebase runs on multiple-of-8
+    sizes, and interpret mode would not catch a Mosaic lowering failure."""
     nz, ny, nx = shape
-    return (nx == 64 and ny % 2 == 0 and nz >= 2
-            and nz * ny * nx * 4 * 9 <= 12 * 1024 * 1024)
+    return (nx == 64 and ny % 16 == 0 and nz >= 2
+            and nz * ny * nx * 4 * 12 <= 12 * 1024 * 1024)
 
 
 def jacobi_packed_pallas(pressure: jax.Array, div: jax.Array,

@@ -219,7 +219,8 @@ def _sharded_mg(q, div, pre=None, post=None, coarse_iters=None):
 def _sharded_project(velocity, pressure, time_step, config: FluidConfig):
     """Projection with per-sweep 1-plane halo exchange (see sim/project.py);
     the multigrid fast solver takes over on the same grids as the
-    single-device path (planes > 128x128) when the local z splits evenly."""
+    single-device path (config.mg_min_plane or more plane cells) when the
+    local z splits evenly."""
     is_3d = config.is_3d
     rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
 

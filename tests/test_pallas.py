@@ -139,8 +139,9 @@ def test_jacobi_packed64_matches_xla():
     assert jacobi_packed_supported((64, 64, 64))
     assert not jacobi_packed_supported((64, 64, 128))   # aligned kernels
     assert not jacobi_packed_supported((64, 63, 64))    # odd y cannot pack
+    assert not jacobi_packed_supported((16, 72, 64))    # ny/2 not 8-aligned
     rng = np.random.default_rng(11)
-    for shape in ((64, 64, 64), (16, 20, 64)):
+    for shape in ((64, 64, 64), (16, 48, 64)):
         q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
         b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
         ref = np.asarray(jacobi_sweeps(q, b, 6, True))

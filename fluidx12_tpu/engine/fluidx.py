@@ -77,8 +77,11 @@ class FluidXEngine:
         # matrix/LOD math + params re-upload cost ~1.2 ms/frame at 128^3).
         # Keyed on camera pose + pause state: a static camera re-uses the
         # packed device params and the plane spec; any orbit/dolly/pause
-        # invalidates.  base_seed is counter-derived (not np.random) and is
-        # unused by kernels (parity field), so a cached upload is exact.
+        # invalidates.  CAVEAT: the packed upload includes BaseSeed, so a
+        # static camera FREEZES the seed at its first-frame value.  That is
+        # harmless only while no kernel consumes BaseSeed (parity-only
+        # field, core/state.py); a kernel that starts using it must exclude
+        # the seed slot from this cache (e.g. pass it as a separate scalar).
         self._frame_key = None
         self._frame_cache: Optional[Tuple[jax.Array, int, Optional[int]]] = None
         self._plane_key = None

@@ -462,28 +462,39 @@ def _jacobi_packed_kernel(q_ref, b_ref, out_ref, *, iters: int):
     bot = row == nr - 1
 
     def sweep(_, q):
-        rt = jnp.where(x_hi, q, pltpu.roll(q, nl - 1, 2))
-        lt = jnp.where(x_lo, q, pltpu.roll(q, 1, 2))
+        # Accumulate taps SEQUENTIALLY (same left-to-right association as
+        # rt+lt+yp+ym+zp+zm, so bit-identical) instead of binding all nine
+        # neighbor volumes at once: Mosaic's scoped-VMEM stack keeps
+        # python-level temporaries live, and the named-taps form peaked at
+        # ~11 simultaneous full-volume values vs ~5 here (q, b, acc, sw,
+        # one expression temp).
+        acc = jnp.where(x_hi, q, pltpu.roll(q, nl - 1, 2))        # x + 1
+        acc = acc + jnp.where(x_lo, q, pltpu.roll(q, 1, 2))       # x - 1
         sw = pltpu.roll(q, 64, 2)                 # other half, same row
-        up_rows = pltpu.roll(sw, nr - 1, 1)       # row r + 1
-        dn_rows = pltpu.roll(sw, 1, 1)            # row r - 1
-        yp = jnp.where(h0, sw, jnp.where(bot, q, up_rows))
-        ym = jnp.where(h0, jnp.where(top, q, dn_rows), sw)
-        zp = jnp.concatenate([q[1:], q[-1:]], axis=0)
-        zm = jnp.concatenate([q[:1], q[:-1]], axis=0)
-        return (rt + lt + yp + ym + zp + zm - b) / 6.0
+        acc = acc + jnp.where(                    # y + 1
+            h0, sw, jnp.where(bot, q, pltpu.roll(sw, nr - 1, 1)))
+        acc = acc + jnp.where(                    # y - 1
+            h0, jnp.where(top, q, pltpu.roll(sw, 1, 1)), sw)
+        acc = acc + jnp.concatenate([q[1:], q[-1:]], axis=0)      # z + 1
+        acc = acc + jnp.concatenate([q[:1], q[:-1]], axis=0)      # z - 1
+        return (acc - b) / 6.0
 
     out_ref[...] = jax.lax.fori_loop(0, iters, sweep, q)
 
 
 def jacobi_packed_supported(shape) -> bool:
-    """(Z, Y, 64) f32 volumes whose packed form fits VMEM with the sweep
-    body's ~12 live full-volume values (9 neighbor temporaries + q + b +
-    the running sum; python-level temporaries stay live on Mosaic's scoped
-    stack).  nx = 64 exactly (the two-half lane packing), and the packed
-    row count ny/2 must be a multiple of the 8-row sublane tile -- every
-    hardware-proven sublane roll in this codebase runs on multiple-of-8
-    sizes, and interpret mode would not catch a Mosaic lowering failure."""
+    """(Z, Y, 64) f32 volumes whose packed form fits VMEM.  The budget
+    model charges 12 full-volume values against a 12 MiB bound; the sweep
+    body's true high-water is ~5 (sequential accumulation, see
+    _jacobi_packed_kernel) plus the 3 in/out block buffers and the
+    fori_loop carry, so the model carries >=3 volumes of headroom plus the
+    4 MiB to the real 16 MiB scoped stack (kernel VMEM models here have
+    underestimated before -- residual_pallas measured 16.19 MB against a
+    smaller model).  nx = 64 exactly (the two-half lane packing), and the
+    packed row count ny/2 must be a multiple of the 8-row sublane tile --
+    every hardware-proven sublane roll in this codebase runs on
+    multiple-of-8 sizes, and interpret mode would not catch a Mosaic
+    lowering failure."""
     nz, ny, nx = shape
     return (nx == 64 and ny % 16 == 0 and nz >= 2
             and nz * ny * nx * 4 * 12 <= 12 * 1024 * 1024)

@@ -256,6 +256,12 @@ def prolong_correct_pallas(q: jax.Array, e_c: jax.Array) -> jax.Array:
     bz = _pick_bz(nz, ny * nx, 4 + 4 + 2 + 6)
     if bz % 2:
         bz *= 2  # coarse blocks pair fine planes
+    # Gated by prolong_pallas_supported; a silent over-budget block would
+    # OOM Mosaic's 16 MB scoped stack at compile time (and on axon a failed
+    # big compile can wedge the shared relay), so fail loudly instead.
+    assert _bz_fits(bz, ny * nx, 16), (
+        f"prolong_correct_pallas: no feasible even z-block for {q.shape}; "
+        "gate with prolong_pallas_supported")
     bzc = bz // 2
     ec_c, ec_p, ec_m = _zspecs(bzc, nyc, nxc, nzc)
     qspec = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0))
@@ -286,23 +292,55 @@ def _residual_kernel(qc, qzp, qzm, bc, out, *, bz: int, nz: int):
     out[...] = bc[...].astype(f32) - (s + zm + zp - 6.0 * q)
 
 
+def _bz_fits(bz: int, plane_elems: int, budget_bytes: int) -> bool:
+    return bz * plane_elems * budget_bytes * 2 <= 12 * 1024 * 1024
+
+
 def _pick_bz(nz: int, plane_bytes: int, n_blocks_vmem: int) -> int:
     """Largest z-block keeping ~n_blocks_vmem plane-stacks under ~12 MB.
     Mosaic double-buffers every pipelined block, hence the factor 2.
     Neighbor planes are single-plane blocks and cost ~nothing here, but
     their per-block refetch costs 2/bz of a volume in HBM traffic -- so
-    prefer the LARGEST bz that fits, not the smallest that works."""
+    prefer the LARGEST bz that fits, not the smallest that works.
+
+    Halving stops at the odd core of nz, which can still be over budget
+    (e.g. nz=48 with huge planes bottoms out at bz=3); feasibility is the
+    GATE's job -- stencil_pallas_supported checks fits(odd_core) at the
+    worst caller budget, so a gated call never reaches an over-budget bz."""
     bz = nz
-    while bz > 1 and (bz % 2 == 0) and bz * plane_bytes * n_blocks_vmem * 2 > 12 * 1024 * 1024:
+    while bz > 1 and (bz % 2 == 0) and not _bz_fits(bz, plane_bytes, n_blocks_vmem):
         bz //= 2
     return bz
 
 
-def stencil_pallas_supported(zyx) -> bool:
+def _odd_core(nz: int) -> int:
+    while nz % 2 == 0:
+        nz //= 2
+    return nz
+
+
+def stencil_pallas_supported(zyx, budget_bytes: int = 24) -> bool:
     """Blocks span full Y x X planes; Mosaic needs a 128-multiple lane dim
-    (same constraint as the Jacobi kernels) and an even Z split."""
+    (same constraint as the Jacobi kernels) and an even Z split.  Also
+    requires that the smallest reachable z-block (the odd core of nz --
+    _pick_bz halves only while even) fits the scoped-VMEM model at the
+    worst per-element budget of the kernels sharing this gate (24 B:
+    divergence/grad_damp/gi_light at f32); fits() is monotonic in bz, so
+    this certifies every caller's _pick_bz result is in budget."""
     nz, ny, nx = zyx
-    return nx % 128 == 0 and ny % 8 == 0 and nz % 2 == 0 and nz >= 4
+    if not (nx % 128 == 0 and ny % 8 == 0 and nz % 2 == 0 and nz >= 4):
+        return False
+    return _bz_fits(_odd_core(nz), ny * nx, budget_bytes)
+
+
+def prolong_pallas_supported(zyx) -> bool:
+    """prolong_correct_pallas additionally needs an EVEN fine z-block
+    (coarse blocks pair fine planes), so its floor is 2 * odd_core(nz),
+    at its own 16 B/elem budget."""
+    nz, ny, nx = zyx
+    if not stencil_pallas_supported(zyx, budget_bytes=16):
+        return False
+    return _bz_fits(2 * _odd_core(nz), ny * nx, 16)
 
 
 def _zspecs(bz, ny, nx, nz, lead=None):

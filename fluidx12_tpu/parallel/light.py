@@ -54,6 +54,10 @@ from fluidx12_tpu.ops.transform import transform_vector
 from fluidx12_tpu.parallel.mesh import Z_AXIS
 from fluidx12_tpu.render.raymarch_core import MAX_DIST
 from fluidx12_tpu.render.lightmap_sweep import (
+    _ao_half_res,
+    _lat_pooled_ok,
+    _pool2_lat,
+    _pool_mats,
     _sweep_pooled,
     _sweep_pooled_point,
     directional_transmittance,
@@ -69,22 +73,6 @@ def _mxu():
     return _mxu16()
 
 
-def _pool_mats(n_m: int, n_s: int, stride: int, dtype, flip: bool):
-    """(pool (n_m, n_s), up (n_s, n_m)) with light-to-far flip folded in."""
-    pool = jnp.zeros((n_m, n_s), dtype).at[
-        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
-    ].set(1.0 / stride)
-    up = jnp.zeros((n_s, n_m), dtype).at[
-        jnp.repeat(jnp.arange(n_s), stride), jnp.arange(n_s * stride)
-    ].set(1.0)
-    if n_s * stride < n_m:  # tail voxels extend the last group
-        up = up.at[n_s - 1, n_s * stride:].set(1.0)
-    if flip:
-        pool = pool[:, ::-1]
-        up = up[::-1]
-    return pool, up
-
-
 def _axis_ok(n_m: int, zl: int, is_z: bool, n_dev: int, max_slices: int) -> bool:
     stride = max(-(-n_m // max_slices), 1)
     n_s = n_m // stride
@@ -95,7 +83,11 @@ def _axis_ok(n_m: int, zl: int, is_z: bool, n_dev: int, max_slices: int) -> bool
 
 def sharded_light_supported(config: FluidConfig, n_dev: int) -> bool:
     """The sharded light map decomposes for this grid/mesh: the main
-    sweep's (host-static) major axis and the AO z-sweeps all tile."""
+    sweep's (host-static) major axis and the AO z-sweeps all tile, AND
+    every resolution choice the single-device fast path would make (half-
+    lateral shadow pooling on big grids, half-res AO) is reproducible on
+    the sharded layout -- a config where the twins would diverge is
+    rejected so the engine falls back to the replicated render."""
     zg, y, x = config.zyx
     if zg % n_dev:
         return False
@@ -108,7 +100,20 @@ def sharded_light_supported(config: FluidConfig, n_dev: int) -> bool:
     major = int(np.argmax(np.abs(lp)))
     sizes = (x, y, zg)
     ok = _axis_ok(sizes[major], zl, major == 2, n_dev, 128)
+    if not config.point_light:
+        # render_light_map_fast pools the shadow sweep's lateral dims 2x on
+        # big grids; when z is one of them (major x/y) the local z-pairs
+        # must not straddle shard boundaries.
+        arr_axis = {0: 2, 1: 1, 2: 0}[major]
+        if _lat_pooled_ok((zg, y, x), arr_axis):
+            ok = ok and (arr_axis == 0 or zl % 2 == 0)
     if config.has_light_probe:
+        # The AO resolution choice must MATCH the replicated one: half-res
+        # needs even local z for the shard-local 2x restriction, and a
+        # grid where the replicated path halves but a shard cannot would
+        # silently diverge (not just run slower).
+        if _ao_half_res((zg, y, x)) and not (zl % 2 == 0 and zl >= 2):
+            return False
         half = (zl % 2 == 0 and zl >= 2
                 and all(v % 2 == 0 and v >= 32 for v in (zg, y, x)))
         hz, hzl = (zg // 2, zl // 2) if half else (zg, zl)
@@ -116,111 +121,22 @@ def sharded_light_supported(config: FluidConfig, n_dev: int) -> bool:
     return ok
 
 
-def sharded_directional_transmittance(
+def _sharded_sweep(
     dens_local: jax.Array,    # (zl, Y, X) local Z-slab, inside shard_map
-    light_dir: jax.Array,     # (3,) unit, local space
     major_axis: int,          # static 0/1/2
-    ref_step: jax.Array,
-    absorption: float,
-    flip: bool,               # static sign of light_dir[major_axis]
-    zero_slope: bool = False,  # static: light axis-aligned (AO sweeps)
-    max_slices: int = 128,
+    flip: bool,               # static light-to-far ordering sign
+    max_slices: int,
+    sweep,                    # (dens_o, sizes, stride, k_ids, prefix_fn,
+                              #  n_s_global) -> pooled transmittance
 ) -> jax.Array:
-    """Per-voxel transmittance toward the light on a Z-sharded density;
-    returns the local (zl, Y, X) slab.  See the module docstring for the
-    decomposition per major axis."""
-    n = jax.lax.axis_size(Z_AXIS)
-    idx = jax.lax.axis_index(Z_AXIS)
-    dtype = dens_local.dtype
-    zl, y, x = dens_local.shape
-    zg = zl * n
-    sizes = (x, y, zg)
-    n_m = sizes[major_axis]
-    stride = max(-(-n_m // max_slices), 1)
-    n_s = n_m // stride
-    mx = _mxu()
+    """The decomposition scaffold shared by the directional and point
+    sharded sweeps; only the pooled-slice sweep core differs (the light
+    model), so it is injected as `sweep`.
 
-    if major_axis != 2 and zero_slope:
-        # Axis-aligned lateral sweep: no Z mixing; plain local sweep (the
-        # cumsum-only axis_aligned branch, same as the replicated AO).
-        return directional_transmittance(
-            dens_local, light_dir, major_axis, ref_step, absorption,
-            flip=flip, max_slices=max_slices, axis_aligned=True)
-
-    def prefix_fn(k0):
-        def fn(slab_sum):
-            sums = jax.lax.all_gather(slab_sum, Z_AXIS)   # (n, W_a, W_b)
-            k0_all = _k0_of(jnp.arange(n))
-            mask = (k0_all < k0).astype(sums.dtype)[:, None, None]
-            return (sums * mask).sum(axis=0)
-
-        return fn
-
-    if major_axis == 2:
-        # Slab-local slices: pool my zl rows into my m_l flipped slices.
-        m_l = zl // stride
-        pool, up = _pool_mats(zl, m_l, stride, dtype, flip)
-
-        def _k0_of(j):
-            # flip is trace-time static: slice 0 is nearest the light.
-            return (n_s - (j + 1) * m_l) if flip else j * m_l
-
-        dens_o = jnp.einsum("zyx,zm->myx", dens_local.astype(mx),
-                            pool.astype(mx),
-                            preferred_element_type=jnp.float32).astype(dtype)
-        k0 = _k0_of(idx)
-        transm = _sweep_pooled(
-            dens_o, light_dir, major_axis, sizes, stride, ref_step,
-            absorption, k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
-            prefix_fn=prefix_fn(k0))
-        return jnp.einsum("myx,mz->zyx", transm.astype(mx), up.astype(mx),
-                          preferred_element_type=jnp.float32).astype(dtype)
-
-    # Lateral-major sweep with slope: reshard pooled slices via all_to_all.
-    m_l = n_s // n
-    pool, up = _pool_mats(n_m, n_s, stride, dtype, flip)
-    eq = {0: "zyx,xm->mzy", 1: "zyx,ym->mzx"}[major_axis]
-    dens_o = jnp.einsum(eq, dens_local.astype(mx), pool.astype(mx),
-                        preferred_element_type=jnp.float32).astype(dtype)
-    # (n_s, zl, lat) -> (m_l, zg, lat): slice-sharded, z complete.
-    dens_o = jax.lax.all_to_all(dens_o, Z_AXIS, split_axis=0, concat_axis=1,
-                                tiled=True)
-
-    def _k0_of(j):
-        return j * m_l
-
-    k0 = _k0_of(idx)
-    transm = _sweep_pooled(
-        dens_o, light_dir, major_axis, sizes, stride, ref_step, absorption,
-        k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
-        prefix_fn=prefix_fn(k0))
-    # (m_l, zg, lat) -> (n_s, zl, lat) and unpool locally.
-    transm = jax.lax.all_to_all(transm, Z_AXIS, split_axis=1, concat_axis=0,
-                                tiled=True)
-    eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx"}[major_axis]
-    return jnp.einsum(eq_up, transm.astype(mx), up.astype(mx),
-                      preferred_element_type=jnp.float32).astype(dtype)
-
-
-def sharded_point_transmittance(
-    dens_local: jax.Array,    # (zl, Y, X) local Z-slab, inside shard_map
-    light_local: jax.Array,   # (3,) local-space light POSITION
-    major_axis: int,          # static 0/1/2
-    ref_step: jax.Array,
-    absorption: float,
-    flip: bool,               # static sign of light_pos[major_axis]
-    max_slices: int = 128,
-) -> jax.Array:
-    """Per-voxel transmittance toward a POINT light on a Z-sharded density.
-
-    The projective sweep decomposes exactly like the directional one: its
-    w-frame (ray-slope grid) and all projective scalars are functions of
-    GLOBAL constants only (light position, global sizes), so each shard
-    shears its own slices into the same frame and the cross-shard term is
-    the one-plane exclusive prefix of slab sums.  Same two layouts:
-    z-major = slab-local slices + prefix; lateral-major = pooled all_to_all
-    reshard to complete slices.  Ref: the dormant _POINT_LIGHT_ mode,
-    RayMarch.hlsli:40, CSRayMarch.hlsl:131."""
+    major z: slices are slab-local (pool my zl rows into m_l flipped
+    slices); the cross-shard term is the exclusive prefix of slab sums.
+    major x/y: pooled slices are resharded from Z-slabs to COMPLETE slices
+    (full z extent) with one all_to_all, swept, and resharded back."""
     n = jax.lax.axis_size(Z_AXIS)
     idx = jax.lax.axis_index(Z_AXIS)
     dtype = dens_local.dtype
@@ -247,26 +163,26 @@ def sharded_point_transmittance(
         pool, up = _pool_mats(zl, m_l, stride, dtype, flip)
 
         def _k0_of(j):
+            # flip is trace-time static: slice 0 is nearest the light.
             return (n_s - (j + 1) * m_l) if flip else j * m_l
 
         dens_o = jnp.einsum("zyx,zm->myx", dens_local.astype(mx),
                             pool.astype(mx),
                             preferred_element_type=jnp.float32).astype(dtype)
         k0 = _k0_of(idx)
-        transm = _sweep_pooled_point(
-            dens_o, light_local, major_axis, sizes, stride, ref_step,
-            absorption, flip, k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
-            prefix_fn=prefix_fn(k0, _k0_of), n_s_global=n_s)
+        transm = sweep(dens_o, sizes, stride,
+                       k0 + jnp.arange(m_l, dtype=jnp.float32),
+                       prefix_fn(k0, _k0_of), n_s)
         return jnp.einsum("myx,mz->zyx", transm.astype(mx), up.astype(mx),
                           preferred_element_type=jnp.float32).astype(dtype)
 
-    # Lateral-major sweep: reshard pooled slices via all_to_all so each
-    # device owns m_l COMPLETE slices (full z extent), then prefix as above.
+    # Lateral-major sweep with slope: reshard pooled slices via all_to_all.
     m_l = n_s // n
     pool, up = _pool_mats(n_m, n_s, stride, dtype, flip)
     eq = {0: "zyx,xm->mzy", 1: "zyx,ym->mzx"}[major_axis]
     dens_o = jnp.einsum(eq, dens_local.astype(mx), pool.astype(mx),
                         preferred_element_type=jnp.float32).astype(dtype)
+    # (n_s, zl, lat) -> (m_l, zg, lat): slice-sharded, z complete.
     dens_o = jax.lax.all_to_all(dens_o, Z_AXIS, split_axis=0, concat_axis=1,
                                 tiled=True)
 
@@ -274,15 +190,70 @@ def sharded_point_transmittance(
         return j * m_l
 
     k0 = _k0_of(idx)
-    transm = _sweep_pooled_point(
-        dens_o, light_local, major_axis, sizes, stride, ref_step, absorption,
-        flip, k_ids=k0 + jnp.arange(m_l, dtype=jnp.float32),
-        prefix_fn=prefix_fn(k0, _k0_of), n_s_global=n_s)
+    transm = sweep(dens_o, sizes, stride,
+                   k0 + jnp.arange(m_l, dtype=jnp.float32),
+                   prefix_fn(k0, _k0_of), n_s)
+    # (m_l, zg, lat) -> (n_s, zl, lat) and unpool locally.
     transm = jax.lax.all_to_all(transm, Z_AXIS, split_axis=1, concat_axis=0,
                                 tiled=True)
     eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx"}[major_axis]
     return jnp.einsum(eq_up, transm.astype(mx), up.astype(mx),
                       preferred_element_type=jnp.float32).astype(dtype)
+
+
+def sharded_directional_transmittance(
+    dens_local: jax.Array,    # (zl, Y, X) local Z-slab, inside shard_map
+    light_dir: jax.Array,     # (3,) unit, local space
+    major_axis: int,          # static 0/1/2
+    ref_step: jax.Array,
+    absorption: float,
+    flip: bool,               # static sign of light_dir[major_axis]
+    zero_slope: bool = False,  # static: light axis-aligned (AO sweeps)
+    max_slices: int = 128,
+) -> jax.Array:
+    """Per-voxel transmittance toward the light on a Z-sharded density;
+    returns the local (zl, Y, X) slab.  See _sharded_sweep for the
+    decomposition per major axis."""
+    if major_axis != 2 and zero_slope:
+        # Axis-aligned lateral sweep: no Z mixing; plain local sweep (the
+        # cumsum-only axis_aligned branch, same as the replicated AO).
+        return directional_transmittance(
+            dens_local, light_dir, major_axis, ref_step, absorption,
+            flip=flip, max_slices=max_slices, axis_aligned=True)
+
+    def sweep(dens_o, sizes, stride, k_ids, prefix_fn, n_s_global):
+        return _sweep_pooled(
+            dens_o, light_dir, major_axis, sizes, stride, ref_step,
+            absorption, k_ids=k_ids, prefix_fn=prefix_fn)
+
+    return _sharded_sweep(dens_local, major_axis, flip, max_slices, sweep)
+
+
+def sharded_point_transmittance(
+    dens_local: jax.Array,    # (zl, Y, X) local Z-slab, inside shard_map
+    light_local: jax.Array,   # (3,) local-space light POSITION
+    major_axis: int,          # static 0/1/2
+    ref_step: jax.Array,
+    absorption: float,
+    flip: bool,               # static sign of light_pos[major_axis]
+    max_slices: int = 128,
+) -> jax.Array:
+    """Per-voxel transmittance toward a POINT light on a Z-sharded density.
+
+    The projective sweep decomposes exactly like the directional one: its
+    w-frame (ray-slope grid) and all projective scalars are functions of
+    GLOBAL constants only (light position, global sizes), so each shard
+    shears its own slices into the same frame and the cross-shard term is
+    the one-plane exclusive prefix of slab sums (_sharded_sweep).  Ref: the
+    dormant _POINT_LIGHT_ mode, RayMarch.hlsli:40, CSRayMarch.hlsl:131."""
+
+    def sweep(dens_o, sizes, stride, k_ids, prefix_fn, n_s_global):
+        return _sweep_pooled_point(
+            dens_o, light_local, major_axis, sizes, stride, ref_step,
+            absorption, flip, k_ids=k_ids, prefix_fn=prefix_fn,
+            n_s_global=n_s_global)
+
+    return _sharded_sweep(dens_local, major_axis, flip, max_slices, sweep)
 
 
 def _exchange_plane(f: jax.Array, axis: int = 0):
@@ -336,6 +307,31 @@ def _sharded_prolong(e: jax.Array) -> jax.Array:
     even = 0.25 * jnp.concatenate([lo, e[:-1]], axis=0) + 0.75 * e
     odd = 0.75 * e + 0.25 * jnp.concatenate([e[1:], hi], axis=0)
     return jnp.stack([even, odd], axis=1).reshape(2 * zl, 2 * ny, 2 * nx)
+
+
+def _sharded_unpool2_lat(vol: jax.Array, arr_axis: int) -> jax.Array:
+    """Sharded twin of lightmap_sweep._unpool2_lat (linear 2x upsample of
+    the two non-major dims): the x/y upsamples are shard-local matmuls;
+    the z lerp (major x/y only) needs the +-1 coarse neighbor planes from
+    adjacent shards, edge-clamped ONLY at the global ends -- the local
+    _unpool2_lat would clamp at every slab boundary and diverge from the
+    replicated result in two planes per seam."""
+    from fluidx12_tpu.sim.mg import _prolong_matrix
+
+    dt = vol.dtype
+    if arr_axis != 2:
+        vol = jnp.einsum("zyx,xm->zym", vol,
+                         jnp.asarray(_prolong_matrix(vol.shape[2]), dt))
+    if arr_axis != 1:
+        vol = jnp.einsum("zyx,ym->zmx", vol,
+                         jnp.asarray(_prolong_matrix(vol.shape[1]), dt))
+    if arr_axis != 0:
+        lo, hi = _exchange_plane(vol, axis=0)
+        even = 0.25 * jnp.concatenate([lo, vol[:-1]], axis=0) + 0.75 * vol
+        odd = 0.75 * vol + 0.25 * jnp.concatenate([vol[1:], hi], axis=0)
+        vol = jnp.stack([even, odd], axis=1).reshape(
+            2 * vol.shape[0], *vol.shape[1:])
+    return vol
 
 
 _AXIS_SWEEPS = [(0, +1), (0, -1), (1, +1), (1, -1), (2, +1), (2, -1)]
@@ -412,8 +408,23 @@ def sharded_light_map(
     else:
         local_light = transform_vector(params.light_pt, params.world_i)
         light_dir = (local_light / jnp.linalg.norm(local_light)).astype(dtype)
-        shadow = sharded_directional_transmittance(
-            density, light_dir, major_axis, ref_step, config.absorption, flip)
+        arr_axis = {0: 2, 1: 1, 2: 0}[major_axis]
+        zg_yx = (zl * n,) + density.shape[1:]
+        if _lat_pooled_ok(zg_yx, arr_axis) and (arr_axis == 0 or zl % 2 == 0):
+            # Mirror render_light_map_fast's half-lateral-resolution sweep
+            # on big grids (same _lat_pooled_ok decision on the GLOBAL
+            # shape, checked shardable by sharded_light_supported).  The
+            # 2x pool is shard-local (z pairs stay inside a slab; x/y are
+            # whole); only the unpool's z lerp crosses seams.
+            shadow = _sharded_unpool2_lat(
+                sharded_directional_transmittance(
+                    _pool2_lat(density, arr_axis), light_dir, major_axis,
+                    ref_step, config.absorption, flip),
+                arr_axis)
+        else:
+            shadow = sharded_directional_transmittance(
+                density, light_dir, major_axis, ref_step, config.absorption,
+                flip)
 
     env3 = (params.light_color[:3] * params.light_color[3])[:, None, None, None]
     dense = density >= config.zero_threshold

@@ -290,11 +290,7 @@ def point_transmittance(
 
     stride = max(-(-n_m // max_slices), 1)
     n_s = n_m // stride
-    pool = jnp.zeros((n_m, n_s), dtype).at[
-        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
-    ].set(1.0 / stride)
-    if flip:
-        pool = pool[:, ::-1]
+    pool, up = _pool_mats(n_m, n_s, stride, dtype, flip)
     from fluidx12_tpu.render.slicecomp import _mxu16
 
     mx = _mxu16()
@@ -306,16 +302,28 @@ def point_transmittance(
         dens_o, light_local, major_axis, sizes, stride, ref_step,
         absorption, flip)
 
-    up = jnp.zeros((n_s, n_m), dtype).at[
-        jnp.repeat(jnp.arange(n_s), stride), jnp.arange(n_s * stride)
-    ].set(1.0)
-    if n_s * stride < n_m:
-        up = up.at[n_s - 1, n_s * stride:].set(1.0)
-    if flip:
-        up = up[::-1]
     eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx", 2: "myx,mz->zyx"}[major_axis]
     return jnp.einsum(eq_up, transm.astype(mx), up.astype(mx),
                       preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _pool_mats(n_m: int, n_s: int, stride: int, dtype, flip: bool):
+    """(pool (n_m, n_s), up (n_s, n_m)) slice-pooling matmul operands with
+    the light-to-far flip folded in; tail voxels extend the last group on
+    the upsample side.  Shared by the replicated sweeps here and the
+    sharded decomposition (parallel/light._sharded_sweep)."""
+    pool = jnp.zeros((n_m, n_s), dtype).at[
+        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
+    ].set(1.0 / stride)
+    up = jnp.zeros((n_s, n_m), dtype).at[
+        jnp.repeat(jnp.arange(n_s), stride), jnp.arange(n_s * stride)
+    ].set(1.0)
+    if n_s * stride < n_m:  # tail voxels extend the last group
+        up = up.at[n_s - 1, n_s * stride:].set(1.0)
+    if flip:
+        pool = pool[:, ::-1]  # slice 0 = nearest the light (+ side)
+        up = up[::-1]
+    return pool, up
 
 
 def directional_transmittance(
@@ -356,11 +364,7 @@ def directional_transmittance(
     # major-axis sign is known at trace time (`flip`).
     stride = max(-(-n_m // max_slices), 1)
     n_s = n_m // stride
-    pool = jnp.zeros((n_m, n_s), dtype).at[
-        jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
-    ].set(1.0 / stride)
-    if flip is not None and flip:
-        pool = pool[:, ::-1]  # slice 0 = nearest the light (+ side)
+    pool, up = _pool_mats(n_m, n_s, stride, dtype, bool(flip))
     from fluidx12_tpu.render.slicecomp import _mxu16
 
     mx = _mxu16()
@@ -390,14 +394,7 @@ def directional_transmittance(
         # Upsample (piecewise-constant within a pooled group -- the shadow
         # is an integral quantity; banding is sub-visual at these strides),
         # unflip, and relayout back to (Z, Y, X) in ONE matmul, the
-        # transpose of the pooling above.
-        up = jnp.zeros((n_s, n_m), dtype).at[
-            jnp.repeat(jnp.arange(n_s), stride), jnp.arange(n_s * stride)
-        ].set(1.0)
-        if n_s * stride < n_m:  # tail voxels extend the last group
-            up = up.at[n_s - 1, n_s * stride:].set(1.0)
-        if flip:
-            up = up[::-1]
+        # transpose of the pooling above (`up` from _pool_mats).
         eq_up = {0: "mzy,mx->zyx", 1: "mzx,my->zyx", 2: "myx,mz->zyx"}[major_axis]
         return jnp.einsum(eq_up, transm.astype(mx), up.astype(mx),
                           preferred_element_type=jnp.float32).astype(dtype)

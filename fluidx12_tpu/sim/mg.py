@@ -166,11 +166,11 @@ def mg_solve(q: jax.Array, b: jax.Array, pre: int = MG_PRE,
     e_c = _smooth(jnp.zeros_like(r_c), r_c, coarse_iters, use_pallas)
     from fluidx12_tpu.ops.pallas.stencil import (
         prolong_correct_pallas,
-        stencil_pallas_supported,
+        prolong_pallas_supported,
     )
 
     if (use_pallas and jax.default_backend() == "tpu"
-            and stencil_pallas_supported(q.shape)):
+            and prolong_pallas_supported(q.shape)):
         q = prolong_correct_pallas(q, e_c)
     else:
         q = q + _prolong(e_c)

@@ -131,6 +131,67 @@ def test_sharded_light_map_matches_replicated():
         np.testing.assert_allclose(out, ref, atol=2e-5, err_msg=str(light_pos))
 
 
+def test_sharded_light_map_pooled_matches_replicated(monkeypatch):
+    """The half-lateral-resolution shadow pooling that render_light_map_fast
+    applies on big grids must be mirrored by the sharded twin (it engages
+    at _LAT_POOL_MIN=256 laterals in production; shrink the threshold so a
+    32^3 grid exercises it).  Covers both decomposition shapes: major x
+    pools z+y (z-pairs shard-local, unpool lerp crosses seams) and major z
+    pools y+x (fully local)."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from fluidx12_tpu.parallel.light import (
+        sharded_light_map,
+        sharded_light_supported,
+    )
+    from fluidx12_tpu.parallel.mesh import Z_AXIS
+    from fluidx12_tpu.render import lightmap_sweep
+    from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
+    from tests.test_fastpath import _smoke_grid
+    from tests.test_render import scene
+
+    monkeypatch.setattr(lightmap_sweep, "_LAT_POOL_MIN", 16)
+    mesh = make_grid_mesh()
+    grid = jnp.asarray(_smoke_grid(32))
+    for light_pos in [(75.0, 75.0, -75.0),   # major = x: z is a pooled dim
+                      (10.0, 20.0, 75.0)]:   # major = z: local y/x pooling
+        cfg = FluidConfig(grid_size=(32, 32, 32), viewport=(32, 32),
+                          use_pallas=False, light_pos=light_pos)
+        arr_axis = {0: 2, 1: 1, 2: 0}[
+            int(np.argmax(np.abs(np.asarray(light_pos))))]
+        assert lightmap_sweep._lat_pooled_ok(cfg.zyx, arr_axis)
+        assert sharded_light_supported(cfg, 8), light_pos
+        params = scene(cfg)
+        ref = np.asarray(render_light_map_fast(grid, params, cfg))
+
+        f = functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(None, Z_AXIS, None, None),),
+            out_specs=P(None, Z_AXIS, None, None),
+        )(lambda g: sharded_light_map(g, params, cfg, None))
+        out = np.asarray(jax.jit(f)(grid))
+        np.testing.assert_allclose(out, ref, atol=2e-5, err_msg=str(light_pos))
+
+
+def test_sharded_light_gate_rejects_divergent_resolutions():
+    """Configs where the single-device fast path would pool (shadow) or
+    halve (AO) but the sharded layout cannot must be REJECTED, not run
+    divergently: zg=40 on 8 devices gives zl=5 (odd)."""
+    from fluidx12_tpu.parallel.light import sharded_light_supported
+
+    # Odd local z + replicated half-res AO would diverge -> unsupported.
+    cfg = FluidConfig(grid_size=(32, 32, 40), viewport=(32, 32),
+                      use_pallas=False, has_light_probe=True,
+                      light_pos=(10.0, 20.0, 75.0))
+    assert not sharded_light_supported(cfg, 8)
+    # Same grid without the probe and with a z-major light: the shadow
+    # pooling gate only bites when z is a LATERAL dim, so this stays
+    # supported (lat dims y/x pool locally) as long as slices tile.
+    cfg2 = FluidConfig(grid_size=(32, 32, 40), viewport=(32, 32),
+                       use_pallas=False, light_pos=(10.0, 20.0, 75.0))
+    assert sharded_light_supported(cfg2, 8)
+
+
 def test_sharded_point_light_map_matches_replicated():
     """The decomposed PROJECTIVE sweep (point light) must reproduce the
     single-device point path of render_light_map_fast for both layouts:

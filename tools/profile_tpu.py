@@ -29,8 +29,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def sync(x):
+    # The ravel/slice must happen DEVICE-side so only 4 elements cross the
+    # relay (CLAUDE.md); np.asarray(leaf) first would fetch the whole array
+    # and bias every composed-prefix delta by a full device->host transfer.
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(np.asarray(leaf).ravel()[:4])
+    np.asarray(jnp.ravel(leaf)[:4])
 
 
 def canary(tag):

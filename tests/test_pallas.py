@@ -214,6 +214,29 @@ def test_prolong_correct_kernel_matches_xla():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_stencil_gates_reject_infeasible_vmem():
+    """The support gates must reject shapes whose SMALLEST reachable
+    z-block (the odd core of nz -- _pick_bz halves only while even) still
+    exceeds the scoped-VMEM budget model: an ungated call would OOM at
+    Mosaic compile time (and on axon, wedge the shared relay)."""
+    from fluidx12_tpu.ops.pallas.stencil import (
+        prolong_pallas_supported,
+        stencil_pallas_supported,
+    )
+
+    # Production shapes stay supported.
+    assert stencil_pallas_supported((128, 128, 128))
+    assert stencil_pallas_supported((256, 256, 256))
+    assert prolong_pallas_supported((128, 128, 128))
+    assert prolong_pallas_supported((256, 256, 256))
+    # nz=48 bottoms out at bz=3 (odd), over budget on 1024^2 planes.
+    assert not stencil_pallas_supported((48, 1024, 1024))
+    # prolong needs an EVEN block (min 2 * odd_core): at 512^2 planes
+    # bz=2 already exceeds its model, while the odd-core-1 kernels fit.
+    assert stencil_pallas_supported((512, 512, 512))
+    assert not prolong_pallas_supported((512, 512, 512))
+
+
 def test_jacobi_pallas_full_plane_tall_slab():
     # The tuned full-plane config (slab=32, inner=4) must match the XLA twin.
     rng = np.random.default_rng(5)

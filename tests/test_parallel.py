@@ -173,6 +173,42 @@ def test_sharded_light_map_pooled_matches_replicated(monkeypatch):
         np.testing.assert_allclose(out, ref, atol=2e-5, err_msg=str(light_pos))
 
 
+def test_smoke_ensemble_matches_independent_members():
+    """Data-parallel ensemble (parallel/ensemble.py): one vmapped program
+    over member-sharded states must reproduce each member run
+    independently through SmokeModel, and distinct init noise must make
+    members diverge."""
+    import jax.tree_util as jtu
+    from fluidx12_tpu.models.smoke import SmokeModel
+    from fluidx12_tpu.parallel.ensemble import SmokeEnsemble
+
+    cfg = FluidConfig(grid_size=(24, 24, 24), viewport=(32, 32),
+                      use_pallas=False)
+    ens = SmokeEnsemble(cfg, batch=8, mesh=make_grid_mesh())
+    states0 = ens.init(seed=3)
+    params = ens.default_params()
+    step = jax.jit(ens.step)
+    states, imgs = step(ens.shard(states0), ens.shard(params))
+    states, imgs = step(states, ens.shard(params))
+    imgs = np.asarray(imgs)
+
+    model = SmokeModel(cfg)
+    mstep = jax.jit(model.step)
+    p1 = model.default_params()
+    for b in range(8):
+        sb = jtu.tree_map(lambda a, b=b: a[b], states0)
+        for _ in range(2):
+            sb, img = mstep(sb, p1)
+        # The vmapped program fuses/reassociates differently than the
+        # single-member one; an epsilon at a quantize_unorm8 rounding
+        # boundary can flip ONE cube-map level (1/255).  Require near-exact
+        # almost everywhere and any stragglers within one quantization step.
+        diff = np.abs(imgs[b] - np.asarray(img))
+        assert (diff > 2e-5).mean() < 1e-3, f"member {b}: {diff.max()}"
+        assert diff.max() <= 1.0 / 255.0 + 2e-5, f"member {b}: {diff.max()}"
+    assert np.abs(imgs[0] - imgs[1]).max() > 1e-6  # members diverged
+
+
 def test_sharded_light_gate_rejects_divergent_resolutions():
     """Configs where the single-device fast path would pool (shadow) or
     halve (AO) but the sharded layout cannot must be REJECTED, not run

@@ -24,8 +24,10 @@ SceneParams (each member can have its own camera, light, or pause state
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import functools
+from typing import Optional, Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -33,6 +35,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fluidx12_tpu.core.config import FluidConfig, RenderMethod
 from fluidx12_tpu.core.state import FluidState, SceneParams
 from fluidx12_tpu.models.smoke import SmokeModel
+from fluidx12_tpu.parallel.mesh import Z_AXIS
+
+MEMBER_AXIS = "m"
 
 
 class SmokeEnsemble:
@@ -108,3 +113,64 @@ class SmokeEnsemble:
              params: SceneParams) -> Tuple[FluidState, jax.Array]:
         """One frame for every member; returns (states, (B, H, W, 3))."""
         return jax.vmap(self.model.step)(states, params)
+
+
+# ----------------------------------------------------------------------
+# Composed data x spatial parallelism (2D mesh: members x Z-slabs)
+# ----------------------------------------------------------------------
+
+def make_ensemble_mesh(n_members: int, n_slabs: int,
+                       devices: Optional[Sequence] = None) -> Mesh:
+    """2D mesh (MEMBER_AXIS, Z_AXIS): ensemble members across rows, each
+    member's grid Z-decomposed across the row's columns."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_members * n_slabs
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:need]).reshape(n_members, n_slabs),
+                (MEMBER_AXIS, Z_AXIS))
+
+
+def sharded_ensemble_simulate(states: FluidState, time_step,
+                              config: FluidConfig, mesh: Mesh) -> FluidState:
+    """One sim step for a (B, ...) ensemble on a (members x slabs) mesh.
+
+    Composes the two scaling modes: the member axis is pure data
+    parallelism (zero collectives) and each member's grid runs the spatial
+    Z-slab decomposition (parallel/domain.py) within its mesh row -- the
+    domain kernels are plain functions whose `ppermute`/halo collectives
+    name Z_AXIS, so `jax.vmap` over the local member dim batches them
+    unchanged.  This is the production topology for sweeping a grid too
+    big for one chip: B x n sharded sims, one program."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(MEMBER_AXIS, None, Z_AXIS, None, None),
+                  P(MEMBER_AXIS, Z_AXIS, None, None), P()),
+        out_specs=(P(MEMBER_AXIS, None, Z_AXIS, None, None),
+                   P(MEMBER_AXIS, Z_AXIS, None, None)),
+    )
+    def step(fields, pressure, dt):
+        from fluidx12_tpu.parallel.domain import (
+            _sharded_advect,
+            _sharded_project,
+        )
+
+        dt = dt.reshape(())
+        store = fields.dtype
+
+        def one(f, q):
+            # Single-member body == parallel/domain.sharded_simulate's:
+            # f32 arithmetic, quantize once at the state boundary.
+            vel, col = _sharded_advect(f[:3].astype(jnp.float32),
+                                       f[3:].astype(jnp.float32), dt, config)
+            vel, q = _sharded_project(vel, q, dt, config)
+            return jnp.concatenate([vel, col], axis=0).astype(store), q
+
+        return jax.vmap(one)(fields, pressure)
+
+    dt_arr = jnp.asarray(time_step, jnp.float32).reshape(1)
+    fields, pressure = step(states.fields, states.pressure, dt_arr)
+    return FluidState(fields=fields, pressure=pressure)

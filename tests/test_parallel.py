@@ -209,6 +209,49 @@ def test_smoke_ensemble_matches_independent_members():
     assert np.abs(imgs[0] - imgs[1]).max() > 1e-6  # members diverged
 
 
+def test_sharded_ensemble_simulate_matches_per_member():
+    """Composed data x spatial parallelism: 2 members x 4 Z-slabs on the
+    8-device mesh must reproduce each member run through the 1D Z-sharded
+    step on its own 4-device mesh -- the member axis is pure DP, so the
+    composition may add NOTHING numerically (measured bit-identical; the
+    1D step's own fidelity vs single-device is pinned by
+    test_sharded_step_matches_single_device)."""
+    import jax.tree_util as jtu
+    from fluidx12_tpu.parallel.ensemble import (
+        make_ensemble_mesh,
+        sharded_ensemble_simulate,
+    )
+
+    cfg = CFG
+    step1 = jax.jit(lambda s: simulate(s, cfg.time_step, cfg))
+    # Two distinct members: different warmup depths.
+    members = []
+    s = make_initial_state(cfg)
+    for i in range(6):
+        s = step1(s)
+        if i in (3, 5):
+            members.append(s)
+
+    mesh = make_ensemble_mesh(2, 4)
+    stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *members)
+    out = jax.jit(lambda st: sharded_ensemble_simulate(
+        st, cfg.time_step, cfg, mesh))(stacked)
+    assert len(out.fields.sharding.device_set) == 8
+
+    mesh1 = make_grid_mesh(4)
+    for b, m in enumerate(members):
+        ref = jax.jit(lambda st: sharded_simulate(
+            st, cfg.time_step, cfg, mesh1))(shard_state(m, mesh1))
+        np.testing.assert_allclose(
+            np.asarray(out.fields[b], np.float32),
+            np.asarray(jnp.concatenate([ref.velocity, ref.color], axis=0),
+                       np.float32),
+            atol=1e-6, err_msg=f"member {b} fields")
+        np.testing.assert_allclose(
+            np.asarray(out.pressure[b]), np.asarray(ref.pressure),
+            atol=1e-6, err_msg=f"member {b} pressure")
+
+
 def test_sharded_light_gate_rejects_divergent_resolutions():
     """Configs where the single-device fast path would pool (shadow) or
     halve (AO) but the sharded layout cannot must be REJECTED, not run

@@ -174,3 +174,52 @@ def sharded_ensemble_simulate(states: FluidState, time_step,
     dt_arr = jnp.asarray(time_step, jnp.float32).reshape(1)
     fields, pressure = step(states.fields, states.pressure, dt_arr)
     return FluidState(fields=fields, pressure=pressure)
+
+
+def sharded_ensemble_render(grids: jax.Array, params: SceneParams,
+                            config: FluidConfig, mesh: Mesh,
+                            sh_coeffs=None) -> jax.Array:
+    """Render (B, H, W, 4) premultiplied frames from (B, 4, Z, Y, X)
+    member color grids on a (members x slabs) mesh.
+
+    The per-shard render body (parallel/render._render_local: decomposed
+    light sweep + slice-parallel/psum-split cube march + resolve) names
+    only Z_AXIS in its collectives, so vmap over the local member dim
+    batches it unchanged -- same composition rule as
+    sharded_ensemble_simulate.  Each member may carry its own SceneParams
+    (camera, light, sample budgets)."""
+    from fluidx12_tpu.parallel.light import sharded_light_supported
+    from fluidx12_tpu.parallel.render import (
+        _render_local,
+        slice_parallel_render_supported,
+    )
+
+    n_slabs = dict(zip(mesh.axis_names, mesh.devices.shape))[Z_AXIS]
+    if not slice_parallel_render_supported(config, n_slabs):
+        raise ValueError(
+            f"grid {config.grid_size} does not slice-parallelize over "
+            f"{n_slabs} Z-slabs (the 1D path would fall back to a gathered "
+            "render; on the composed mesh, use a supported shape)")
+    x, y, z = config.grid_size
+    sizes = (x, y, z)
+    cap = max(config.max_ray_samples, 1)
+    strides = {a: max(-(-sizes[a] // cap), 1) for a in range(3)}
+    zl = z // n_slabs
+    light_sharded = sharded_light_supported(config, n_slabs)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(MEMBER_AXIS, None, Z_AXIS, None, None), P(MEMBER_AXIS)),
+        out_specs=P(MEMBER_AXIS),
+        check_vma=False,
+    )
+    def render(grids_local, params_local):
+        def one(g, p):
+            return _render_local(g, p, config, sh_coeffs, sizes=sizes,
+                                 strides=strides, zl=zl,
+                                 light_sharded=light_sharded)
+
+        return jax.vmap(one)(grids_local, params_local)
+
+    return render(grids, params)

@@ -54,6 +54,98 @@ def _pool_matrix(n_m: int, n_s: int, stride: int, dtype):
     ].set(1.0 / stride)
 
 
+def slice_parallel_render_supported(config: FluidConfig, n_dev: int) -> bool:
+    """Z faces slice-parallelize only when shard boundaries align with
+    pooled slice groups; tiny/odd shapes keep the gathered fallback."""
+    z = config.grid_size[2]
+    if z % n_dev:
+        return False
+    stride = max(-(-z // max(config.max_ray_samples, 1)), 1)
+    zl = z // n_dev
+    return not (zl % stride or zl < stride)
+
+
+def _render_local(grid_local, params: SceneParams, config: FluidConfig,
+                  sh_coeffs, *, sizes, strides, zl, light_sharded):
+    """The per-shard render body; runs inside any shard_map binding Z_AXIS
+    (the 1D wrapper below, or vmapped over local ensemble members on a
+    2D members x slabs mesh -- every collective here names Z_AXIS only)."""
+    from fluidx12_tpu.parallel.light import sharded_light_map
+
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    dtype = config.render_dtype
+    mx = _mxu16()
+    local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
+
+    if light_sharded:
+        # Fully decomposed sweep + GI (parallel/light.py): per-device
+        # compute is O(N^3/n) and comm is prefix planes + two pooled
+        # all_to_alls -- no density all-gather.
+        light_local = sharded_light_map(grid_local, params, config,
+                                        sh_coeffs)
+    else:
+        # Fallback for shapes the sweep cannot decompose: gather the
+        # 1-channel density and run the sweep replicated.
+        dens_full = jax.lax.all_gather(
+            grid_local[3:4].astype(mx), Z_AXIS, axis=1, tiled=True)
+        light_full = render_light_map_fast(
+            dens_full.astype(dtype), params, config, sh_coeffs)
+        light_local = jax.lax.dynamic_slice_in_dim(
+            light_full, idx * zl, zl, axis=1)
+
+    # March channels: density + premultiplied rgb * light (see slicecomp).
+    vol = jnp.concatenate(
+        [grid_local[3:4].astype(dtype),
+         grid_local[:3].astype(dtype) * light_local.astype(dtype)],
+        axis=0).astype(mx)
+
+    face_ids = jnp.arange(6, dtype=jnp.int32)
+    visible = ((params.visibility_mask >> face_ids) & 1) > 0
+
+    faces = []
+    for f in range(6):
+        axis, sign = _FACES[f][0], _FACES[f][1]
+        stride = strides[axis]
+        if axis == 2:
+            # Slice-parallel: pool my slab, march my slice block,
+            # compose partials front-to-back across shards.
+            n_sl = zl // stride
+            pool = _pool_matrix(zl, n_sl, stride, mx)
+            volf = jnp.einsum("czyx,zm->cmyx", vol, pool,
+                              preferred_element_type=jnp.float32).astype(mx)
+            part, t_tot = _march_face(
+                f, volf, local_eye, params.num_samples, config, dtype,
+                slice_start=idx * n_sl, partial=True)
+            parts = jax.lax.all_gather(
+                jnp.concatenate([part, t_tot[..., None]], axis=-1),
+                Z_AXIS)                       # (n, R, R, 5)
+            order = range(n) if sign > 0 else range(n - 1, -1, -1)
+            face = jnp.zeros_like(part)
+            transm = jnp.ones_like(t_tot)
+            for i in order:
+                face = face + transm[..., None] * parts[i, ..., :4]
+                transm = transm * parts[i, ..., 4]
+        else:
+            # Lateral-axis face: pool over the (local-full) major axis,
+            # split the Z-row contraction across shards, one psum.
+            n_m = sizes[axis]
+            n_sl = n_m // stride
+            pool = _pool_matrix(n_m, n_sl, stride, mx)
+            eq = {1: "czyx,ym->cmzx", 0: "czyx,xm->cmzy"}[axis]
+            volf = jnp.einsum(eq, vol, pool,
+                              preferred_element_type=jnp.float32).astype(mx)
+            face = _march_face(
+                f, volf, local_eye, params.num_samples, config, dtype,
+                row_start=idx * zl, psum_axis=Z_AXIS)
+        faces.append(jnp.where(visible[f], face, 0.0))
+    cube = jnp.stack(faces, axis=0)
+    if config.quantize_cube_map:
+        cube = quantize_unorm8(cube)
+
+    return resolve_cube(cube, params, config)
+
+
 def sharded_render_frame(
     grid: jax.Array,          # (4, Z, Y, X) Z-sharded outside shard_map
     params: SceneParams,
@@ -62,10 +154,7 @@ def sharded_render_frame(
     sh_coeffs: jax.Array = None,
 ) -> jax.Array:
     """Render the (H, W, 4) premultiplied frame from a Z-sharded grid."""
-    from fluidx12_tpu.parallel.light import (
-        sharded_light_map,
-        sharded_light_supported,
-    )
+    from fluidx12_tpu.parallel.light import sharded_light_supported
 
     x, y, z = config.grid_size
     sizes = (x, y, z)
@@ -73,11 +162,9 @@ def sharded_render_frame(
     strides = {a: max(-(-sizes[a] // cap), 1) for a in range(3)}
     n_dev = mesh.devices.size
     zl = z // n_dev
-    # Z faces slice-parallelize only when shard boundaries align with pooled
-    # slice groups; tiny/odd shapes keep the simple gathered fallback.
-    # The light sweep itself decomposes under its own (stricter) predicate.
+    # The light sweep decomposes under its own (stricter) predicate.
     light_sharded = sharded_light_supported(config, n_dev)
-    if zl % strides[2] or zl < strides[2]:
+    if not slice_parallel_render_supported(config, n_dev):
         return _gathered_render_frame(grid, params, config, mesh, sh_coeffs)
 
     @functools.partial(
@@ -88,78 +175,9 @@ def sharded_render_frame(
         check_vma=False,
     )
     def render(grid_local):
-        n = jax.lax.axis_size(Z_AXIS)
-        idx = jax.lax.axis_index(Z_AXIS)
-        dtype = config.render_dtype
-        mx = _mxu16()
-        local_eye = transform_point_h(params.eye_pt, params.world_i)[:3].astype(dtype)
-
-        if light_sharded:
-            # Fully decomposed sweep + GI (parallel/light.py): per-device
-            # compute is O(N^3/n) and comm is prefix planes + two pooled
-            # all_to_alls -- no density all-gather.
-            light_local = sharded_light_map(grid_local, params, config,
-                                            sh_coeffs)
-        else:
-            # Fallback for shapes the sweep cannot decompose: gather the
-            # 1-channel density and run the sweep replicated.
-            dens_full = jax.lax.all_gather(
-                grid_local[3:4].astype(mx), Z_AXIS, axis=1, tiled=True)
-            light_full = render_light_map_fast(
-                dens_full.astype(dtype), params, config, sh_coeffs)
-            light_local = jax.lax.dynamic_slice_in_dim(
-                light_full, idx * zl, zl, axis=1)
-
-        # March channels: density + premultiplied rgb * light (see slicecomp).
-        vol = jnp.concatenate(
-            [grid_local[3:4].astype(dtype),
-             grid_local[:3].astype(dtype) * light_local.astype(dtype)],
-            axis=0).astype(mx)
-
-        face_ids = jnp.arange(6, dtype=jnp.int32)
-        visible = ((params.visibility_mask >> face_ids) & 1) > 0
-
-        faces = []
-        for f in range(6):
-            axis, sign = _FACES[f][0], _FACES[f][1]
-            stride = strides[axis]
-            if axis == 2:
-                # Slice-parallel: pool my slab, march my slice block,
-                # compose partials front-to-back across shards.
-                n_sl = zl // stride
-                pool = _pool_matrix(zl, n_sl, stride, mx)
-                volf = jnp.einsum("czyx,zm->cmyx", vol, pool,
-                                  preferred_element_type=jnp.float32).astype(mx)
-                part, t_tot = _march_face(
-                    f, volf, local_eye, params.num_samples, config, dtype,
-                    slice_start=idx * n_sl, partial=True)
-                parts = jax.lax.all_gather(
-                    jnp.concatenate([part, t_tot[..., None]], axis=-1),
-                    Z_AXIS)                       # (n, R, R, 5)
-                order = range(n) if sign > 0 else range(n - 1, -1, -1)
-                face = jnp.zeros_like(part)
-                transm = jnp.ones_like(t_tot)
-                for i in order:
-                    face = face + transm[..., None] * parts[i, ..., :4]
-                    transm = transm * parts[i, ..., 4]
-            else:
-                # Lateral-axis face: pool over the (local-full) major axis,
-                # split the Z-row contraction across shards, one psum.
-                n_m = sizes[axis]
-                n_sl = n_m // stride
-                pool = _pool_matrix(n_m, n_sl, stride, mx)
-                eq = {1: "czyx,ym->cmzx", 0: "czyx,xm->cmzy"}[axis]
-                volf = jnp.einsum(eq, vol, pool,
-                                  preferred_element_type=jnp.float32).astype(mx)
-                face = _march_face(
-                    f, volf, local_eye, params.num_samples, config, dtype,
-                    row_start=idx * zl, psum_axis=Z_AXIS)
-            faces.append(jnp.where(visible[f], face, 0.0))
-        cube = jnp.stack(faces, axis=0)
-        if config.quantize_cube_map:
-            cube = quantize_unorm8(cube)
-
-        return resolve_cube(cube, params, config)
+        return _render_local(grid_local, params, config, sh_coeffs,
+                             sizes=sizes, strides=strides, zl=zl,
+                             light_sharded=light_sharded)
 
     return render(grid)
 

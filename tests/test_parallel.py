@@ -252,6 +252,45 @@ def test_sharded_ensemble_simulate_matches_per_member():
             atol=1e-6, err_msg=f"member {b} pressure")
 
 
+def test_sharded_ensemble_render_matches_per_member():
+    """Composed render: 2 members x 4 Z-slabs must reproduce each member
+    run through the 1D sharded render on its own 4-device mesh (same
+    composition rule as the sim: the member axis adds nothing)."""
+    import jax.tree_util as jtu
+    from fluidx12_tpu.models import SmokeModel
+    from fluidx12_tpu.parallel.ensemble import (
+        make_ensemble_mesh,
+        sharded_ensemble_render,
+    )
+    from fluidx12_tpu.parallel.render import sharded_render_frame
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(32, 32),
+                      max_ray_samples=8, max_light_samples=4,
+                      num_pressure_iters=4, use_pallas=False)
+    model = SmokeModel(cfg)
+    params = model.default_params()
+    # Two distinct member states (different warmup depths).
+    step = jax.jit(model.step, donate_argnums=(0,))
+    members, state = [], model.init()
+    for i in range(8):
+        state, _ = step(state, params)
+        if i in (5, 7):
+            members.append(state.color)
+
+    mesh = make_ensemble_mesh(2, 4)
+    grids = jnp.stack(members)
+    paramsB = jtu.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (2,) + a.shape), params)
+    out = np.asarray(jax.jit(lambda g, p: sharded_ensemble_render(
+        g, p, cfg, mesh))(grids, paramsB))
+
+    mesh1 = make_grid_mesh(4)
+    for b, grid in enumerate(members):
+        ref = sharded_render_frame(jax.device_put(grid), params, cfg, mesh1)
+        np.testing.assert_allclose(out[b], np.asarray(ref), atol=1e-6,
+                                   err_msg=f"member {b}")
+
+
 def test_sharded_light_gate_rejects_divergent_resolutions():
     """Configs where the single-device fast path would pool (shadow) or
     halve (AO) but the sharded layout cannot must be REJECTED, not run

@@ -383,7 +383,14 @@ def run_pass_breakdown(n=256):
         poisson_b = vox * 4 * (2 * (2 * 1.875 + 1) + 2.5 + 1.5 + 4.75)
     else:
         poisson_b = vox * 4 * 2 * (64 // 8) * 2.3  # 64-sweep Jacobi trips
-    sim_b = (7 * vox * half * (2 + 2 + 2.5)  # x, y, z(1.5x halo read) r+w
+    from fluidx12_tpu.ops.pallas.advect import fused_xy_supported
+    if cfg.advect_fuse_xy and fused_xy_supported(cfg.zyx):
+        # Fused x+y kernel: one read + one write of the 7-channel state,
+        # plus the channel-0 displacement block re-read once per z step.
+        lateral_trips = 2 + 1 / 7
+    else:
+        lateral_trips = 2 + 2  # separate x and y passes, r+w each
+    sim_b = (7 * vox * half * (lateral_trips + 2.5)  # + z (1.5x halo read)
              + poisson_b
              + 3 * vox * half + vox * 4      # divergence (reads vel, f32 out)
              + 6 * vox * half + 1.25 * vox * 4)  # grad+damp in place

@@ -113,6 +113,13 @@ class FluidConfig:
     pallas_advect: bool = True
     # - Jacobi slab kernel (roll-based sweeps): 4.8 ms vs 5.5 ms XLA
     pallas_jacobi: bool = True
+    # Fuse the x and y advect resample passes into ONE kernel visit per
+    # channel block (ops/pallas/advect.py::_pass_kernel_fused_xy): the
+    # x-advected intermediate lives only in a VMEM accumulator, cutting the
+    # lateral-pass HBM traffic from 4 full-volume trips to ~2.14 at 256^3.
+    # Requires a full (Y, X) plane per block; unsupported planes fall back
+    # to the two-pass form automatically.
+    advect_fuse_xy: bool = True
     # Multigrid pressure fast solver: on grids with mg_min_plane or more
     # plane cells (128x128 up -- the reference's 64-sweep schedule costs
     # ~2.8 ms at 128^3 and ~15 ms at 256^3), one V(4,4) cycle with 32

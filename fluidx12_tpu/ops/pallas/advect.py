@@ -332,6 +332,148 @@ def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
     )(vol, vol, scale_arr)
 
 
+def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
+                          acc_ref, dx_ref, dy_ref):
+    """Both lateral passes (x then y) in ONE kernel visit per channel block.
+
+    The two-pass form streams the full 7-channel volume through HBM twice
+    (read+write per pass); here a (1, slab, Y, X) full-plane block is read
+    once, x-resampled into a f32 VMEM accumulator, quantized through the
+    storage dtype (bit-matching the two-pass HBM round trip), y-resampled,
+    and written once -- the intermediate never exists in HBM.  At 256^3
+    that cuts the x+y traffic from 4 to ~2.14 volume trips (the channel-0
+    displacement source block re-fetches once per z step).
+
+    Channel order rides the index map: channel 1 (u_y) goes FIRST so the
+    x-advected u_y exists when the y displacement is derived at ci == 0;
+    both displacement fields persist in VMEM scratch across the
+    channel-innermost grid steps (same persistence contract as
+    _pass_kernel_fused_d1's weight scratch).
+
+    VMEM shape: the calm 6-tap resample runs in the main body; the heavy
+    tier ADDS the 20 outer taps under pl.when (branch stacks add their
+    high-water marks, so the heavy branches hold 20 -- not 26 -- live tap
+    temporaries each).  The outer taps join the accumulator after the calm
+    partial sum, so heavy-tier sums associate (calm taps) + (outer taps)
+    rather than strictly left-to-right -- within f32 rounding of the
+    two-pass form (the cross-check tolerance already covers XLA-vs-Mosaic
+    reassociation).
+    """
+    ci = pl.program_id(1)
+    q = vol_ref[0]                       # (slab, Y, X), storage dtype
+    f32 = jnp.float32
+    _, ny, nx = q.shape
+
+    @pl.when(ci == 0)
+    def _():
+        dx = jnp.clip(-dsrc_ref[0].astype(f32) * sx_ref[0],
+                      -float(MAX_DISP), float(MAX_DISP))
+        ids = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 2).astype(f32)
+        dx_ref[...] = _clamp_disp_inbounds(dx, ids, nx)
+
+    dx = dx_ref[...]
+    calm_x = jnp.max(jnp.abs(dx)) <= float(_CALM_DISP)
+    qf = q.astype(f32)  # rolls lower via tpu.dynamic_rotate: 32-bit only
+
+    def taps(src, d, axis, lo, hi):
+        n = src.shape[axis]
+        out = jnp.zeros_like(src)
+        for a in range(lo, hi + 1):
+            w = jnp.maximum(1.0 - jnp.abs(d - float(a)), 0.0)
+            out = out + pltpu.roll(src, (n - a) % n, axis) * w
+        return out
+
+    acc_ref[...] = taps(qf, dx, 2, -_CALM_DISP, _CALM_DISP + 1)
+
+    @pl.when(jnp.logical_not(calm_x))
+    def _():
+        acc_ref[...] = (acc_ref[...]
+                        + taps(qf, dx, 2, -MAX_DISP, -_CALM_DISP - 1)
+                        + taps(qf, dx, 2, _CALM_DISP + 2, MAX_DISP + 1))
+
+    # Quantize through the storage dtype: the two-pass path's intermediate
+    # lives in HBM at storage precision, and the y displacement below must
+    # derive from the SAME quantized u_y.
+    txq = acc_ref[...].astype(out_ref.dtype).astype(f32)
+
+    @pl.when(ci == 0)
+    def _():
+        # vol block at step 0 IS channel 1 (u_y), already x-advected above.
+        dy = jnp.clip(-txq * sy_ref[0], -float(MAX_DISP), float(MAX_DISP))
+        ids = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1).astype(f32)
+        dy_ref[...] = _clamp_disp_inbounds(dy, ids, ny)
+
+    dy = dy_ref[...]
+    calm_y = jnp.max(jnp.abs(dy)) <= float(_CALM_DISP)
+
+    acc_ref[...] = taps(txq, dy, 1, -_CALM_DISP, _CALM_DISP + 1)
+
+    @pl.when(jnp.logical_not(calm_y))
+    def _():
+        acc_ref[...] = (acc_ref[...]
+                        + taps(txq, dy, 1, -MAX_DISP, -_CALM_DISP - 1)
+                        + taps(txq, dy, 1, _CALM_DISP + 2, MAX_DISP + 1))
+
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def fused_xy_supported(zyx, interpret: bool = False) -> bool:
+    """Full-plane blocks: both lateral dims are resampled, so the block
+    must hold the whole (Y, X) plane inside the per-channel tap budget.
+    On hardware the plane must also be Mosaic-roll clean (lanes a multiple
+    of 128, sublanes of 8 -- every proven roll in this codebase runs on
+    such sizes; interpret mode would not catch a lowering failure)."""
+    nz, ny, nx = zyx
+    if ny * nx > _BLOCK_BUDGET_ELEMS or nz < 1:
+        return False
+    if not interpret and (nx % 128 or ny % 8):
+        return False
+    return True
+
+
+def _run_pass_fused_xy(vol: jax.Array, interpret: bool,
+                       scale_x, scale_y) -> jax.Array:
+    """Fused x+y resample of the (7, Z, Y, X) combined field
+    (_pass_kernel_fused_xy), or None when the plane cannot fit a
+    full-plane block (caller runs the two-pass form)."""
+    c, z, ny, nx = vol.shape
+    if not fused_xy_supported((z, ny, nx), interpret):
+        return None
+    slab = max(_BLOCK_BUDGET_ELEMS // (ny * nx), 1)
+    while slab > 1 and z % slab:
+        slab //= 2
+    if z % slab:
+        slab = 1
+    block = (1, slab, ny, nx)
+
+    def swap01(ci):
+        # Channel visit order (1, 0, 2, ..): u_y first (see kernel doc).
+        return ci + (ci == 0).astype(ci.dtype) - (ci == 1).astype(ci.dtype)
+
+    vol_map = lambda zi, ci: (swap01(ci), zi, 0, 0)
+    d_map = lambda zi, ci: (0, zi, 0, 0)
+    sx = jnp.asarray(scale_x, jnp.float32).reshape(1)
+    sy = jnp.asarray(scale_y, jnp.float32).reshape(1)
+    return pl.pallas_call(
+        _pass_kernel_fused_xy,
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        grid=(z // slab, c),
+        in_specs=[
+            pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, d_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda zi, ci: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda zi, ci: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(block, vol_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slab, ny, nx), jnp.float32),   # acc
+            pltpu.VMEM((slab, ny, nx), jnp.float32),   # dx
+            pltpu.VMEM((slab, ny, nx), jnp.float32),   # dy
+        ],
+        interpret=interpret,
+    )(vol, vol, sx, sy)
+
+
 def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, interpret: bool):
     """vol (7, Z, A, B); disp (Z, A, B) pre-clipped; axis 2 (resample
     sublanes, tile B) or 3 (resample lanes, tile A).  Returns None when no
@@ -648,25 +790,32 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
         # XLA-twin fallback computes in f32 and restores the storage dtype.
         return _advect_1d(vol.astype(jnp.float32), d, axis).astype(vol.dtype)
 
-    # Pass x (lanes) then pass y (sublanes), each an all-channel
-    # two-tier kernel with the displacement computed in-block (pass y reads
-    # the x-advected u_y from its own input block -- no HBM displacement
-    # arrays anywhere).
-    out = _run_pass_fused(both, axis=3, interpret=interpret,
-                          disp_ch=0, scale=dt * x)
+    # Fused x+y: both lateral passes in one kernel visit when the plane
+    # fits a full-plane block (the intermediate never exists in HBM).
+    out = None
+    if config.advect_fuse_xy:
+        out = _run_pass_fused_xy(both, interpret, dt * x, dt * y)
+
     if out is None:
-        out = _run_pass(both, clip_disp(both[0], dt * x), axis=3,
-                        interpret=interpret)
-    if out is None:
-        out = xla_1d(both, clip_disp(both[0], dt * x), axis=3)
-    out2 = _run_pass_fused(out, axis=2, interpret=interpret,
-                           disp_ch=1, scale=dt * y)
-    if out2 is None:
-        out2 = _run_pass(out, clip_disp(out[1], dt * y), axis=2,
-                         interpret=interpret)
-    if out2 is None:
-        out2 = xla_1d(out, clip_disp(out[1], dt * y), axis=2)
-    out = out2
+        # Pass x (lanes) then pass y (sublanes), each an all-channel
+        # two-tier kernel with the displacement computed in-block (pass y
+        # reads the x-advected u_y from its own input block -- no HBM
+        # displacement arrays anywhere).
+        out = _run_pass_fused(both, axis=3, interpret=interpret,
+                              disp_ch=0, scale=dt * x)
+        if out is None:
+            out = _run_pass(both, clip_disp(both[0], dt * x), axis=3,
+                            interpret=interpret)
+        if out is None:
+            out = xla_1d(both, clip_disp(both[0], dt * x), axis=3)
+        out2 = _run_pass_fused(out, axis=2, interpret=interpret,
+                               disp_ch=1, scale=dt * y)
+        if out2 is None:
+            out2 = _run_pass(out, clip_disp(out[1], dt * y), axis=2,
+                             interpret=interpret)
+        if out2 is None:
+            out2 = xla_1d(out, clip_disp(out[1], dt * y), axis=2)
+        out = out2
     if not config.is_3d:
         return out
 

@@ -376,3 +376,48 @@ def test_zpass_fused_forces_matches_xla():
                                np.asarray(v_ref)[sl], atol=3e-5)
     np.testing.assert_allclose(np.asarray(got[3:])[sl],
                                np.asarray(c_ref)[sl], atol=3e-5)
+
+
+def test_advect_fused_xy_matches_two_pass():
+    """Fused x+y kernel (_pass_kernel_fused_xy) vs the two-pass form, both
+    tiers.  The fused path quantizes its VMEM intermediate through the
+    storage dtype at exactly the point the two-pass form round-trips HBM,
+    so the results differ only by f32 tap re-association."""
+    import dataclasses
+    from fluidx12_tpu.core.config import FluidConfig
+    from fluidx12_tpu.ops.pallas.advect import (
+        backtrace_pallas, _run_pass_fused_xy, fused_xy_supported)
+
+    cfg_on = FluidConfig(grid_size=(32, 16, 16))
+    cfg_off = dataclasses.replace(cfg_on, advect_fuse_xy=False)
+    assert fused_xy_supported(cfg_on.zyx, interpret=True)
+    rng = np.random.default_rng(7)
+    for umax, tag in ((0.8, "calm"), (4.0, "heavy")):
+        both = jnp.asarray(
+            rng.uniform(0, 1, (7,) + cfg_on.zyx).astype(np.float32))
+        both = both.at[:3].set((both[:3] - 0.5) * (2 * umax))
+        interior = np.zeros(cfg_on.zyx, np.float32)
+        interior[3:-3, 6:-6, 6:-6] = 1.0
+        both = both.at[:3].multiply(jnp.asarray(interior))
+        dt = cfg_on.time_step
+        ref = np.asarray(backtrace_pallas(both, dt, cfg_off))
+        got = np.asarray(backtrace_pallas(both, dt, cfg_on))
+        np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=tag)
+
+    # Direct unit check with bf16 storage: the quantization point must
+    # bit-match the two-pass HBM round trip (tap math stays f32, so only
+    # re-association noise remains -- bounded well under one bf16 ulp of
+    # the [0, 1] data here).
+    vol8 = jnp.asarray(
+        rng.uniform(0, 1, (7, 8, 16, 128)).astype(np.float32))
+    volb = vol8.astype(jnp.bfloat16)
+    got_b = _run_pass_fused_xy(volb, True, 0.7, -0.45)
+    assert got_b is not None and got_b.dtype == jnp.bfloat16
+    from fluidx12_tpu.ops.pallas.advect import _run_pass_fused
+    step1 = _run_pass_fused(volb, axis=3, interpret=True, disp_ch=0,
+                            scale=0.7)
+    step2 = _run_pass_fused(step1, axis=2, interpret=True, disp_ch=1,
+                            scale=-0.45)
+    np.testing.assert_allclose(
+        np.asarray(got_b, np.float32), np.asarray(step2, np.float32),
+        atol=2e-2)

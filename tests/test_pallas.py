@@ -421,3 +421,21 @@ def test_advect_fused_xy_matches_two_pass():
     np.testing.assert_allclose(
         np.asarray(got_b, np.float32), np.asarray(step2, np.float32),
         atol=2e-2)
+
+
+def test_advect_fused_xy_slab1():
+    """slab = 1 layout (the 256^3 operating point, where one (Y, X) plane
+    fills the whole block budget): channel visit order and the scratch
+    displacement persistence must behave identically to bigger slabs."""
+    from fluidx12_tpu.ops.pallas.advect import (
+        _run_pass_fused, _run_pass_fused_xy)
+
+    rng = np.random.default_rng(11)
+    # ny * nx = 64 * 1024 == _BLOCK_BUDGET_ELEMS exactly -> slab = 1.
+    vol = jnp.asarray(rng.uniform(0, 1, (7, 2, 256, 256)).astype(np.float32))
+    vol = vol.at[:3].set((vol[:3] - 0.5) * 6.0)  # heavy tier
+    got = _run_pass_fused_xy(vol, True, 0.9, 0.6)
+    assert got is not None
+    step1 = _run_pass_fused(vol, axis=3, interpret=True, disp_ch=0, scale=0.9)
+    step2 = _run_pass_fused(step1, axis=2, interpret=True, disp_ch=1, scale=0.6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(step2), atol=3e-5)

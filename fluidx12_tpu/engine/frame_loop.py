@@ -78,6 +78,9 @@ class _KeyPoller:
 
 class FrameLoop:
     FRAMES_IN_FLIGHT = 3  # ref FrameCount (Fluid.h:35)
+    # Warn when the fast advect's per-substep backtrace displacement
+    # reaches this fraction of its MAX_DISP clamp (sim/advect_fast.py).
+    CFL_WARN_FRACTION = 0.75
 
     def __init__(self, engine: FluidXEngine, show_fps: bool = True,
                  watchdog_every: int = 0, metrics_path: Optional[str] = None):
@@ -90,6 +93,7 @@ class FrameLoop:
         self.watchdog_every = watchdog_every
         self.metrics_path = metrics_path
         self.recoveries = 0
+        self.cfl_warnings = 0
         self._in_flight = collections.deque()
         self._fps_window_start = time.perf_counter()
         self._fps_frame_count = 0
@@ -241,6 +245,24 @@ class FrameLoop:
                   f"{self.engine.frame_index}; resetting simulation "
                   f"(recovery #{self.recoveries})")
             self.engine.state = make_initial_state(self.engine.config)
+        # CFL guard: the fast advect clamps backtrace displacement to
+        # MAX_DISP voxels (the reference's forcing keeps CFL far below it,
+        # CSAdvect.hlsl:50-54); a config that approaches the clamp would
+        # silently diverge from the faithful twin, so warn loudly instead.
+        cfg = self.engine.config
+        cfl_disp = None
+        if healthy and cfg.fast_sim and not self.engine.is_paused:
+            from fluidx12_tpu.sim.advect_fast import MAX_DISP, max_backtrace_disp
+
+            cfl_disp = float(np.asarray(max_backtrace_disp(
+                self.engine.state.velocity, cfg.time_step, cfg)))
+            if cfl_disp >= self.CFL_WARN_FRACTION * MAX_DISP:
+                self.cfl_warnings += 1
+                print(f"[fluidx12-tpu] WATCHDOG: backtrace displacement "
+                      f"{cfl_disp:.1f} voxels nears the fast-advect clamp "
+                      f"(MAX_DISP={MAX_DISP}); the fast stack may diverge "
+                      f"from the faithful twin -- reduce time_step/forces "
+                      f"or switch to the faithful stack (x hotkey).")
         if self.metrics_path:
             rec = {
                 "frame": self.engine.frame_index,
@@ -249,6 +271,8 @@ class FrameLoop:
                 "density_max": float(c[3].max()) if healthy else None,
                 "speed_max": float(np.abs(v).max()) if healthy else None,
                 "recoveries": self.recoveries,
+                "cfl_disp": cfl_disp,
+                "cfl_warnings": self.cfl_warnings,
             }
             with open(self.metrics_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")

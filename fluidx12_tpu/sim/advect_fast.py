@@ -36,6 +36,27 @@ from fluidx12_tpu.sim.advect import apply_impulse_forces
 MAX_DISP = 12
 
 
+def max_backtrace_disp(velocity: jax.Array, time_step: float,
+                       config: FluidConfig) -> jax.Array:
+    """Largest per-axis, per-substep backtrace displacement in voxels.
+
+    The fast advect clamps displacements to MAX_DISP (the reference
+    backtraces unclamped, CSAdvect.hlsl:50-54, but its forcing keeps the
+    CFL well under a dozen voxels).  This is the cheap in-graph guard the
+    frame loop's watchdog polls so a user config with stronger forces/dt
+    cannot silently diverge from the faithful twin: approaching the clamp
+    raises a loud warning instead (tests/test_engine.py).
+    """
+    z, y, x = config.zyx
+    n_sub = max(int(getattr(config, "advect_substeps", 2)), 1)
+    dt_sub = jnp.asarray(time_step, jnp.float32) / n_sub
+    vel = jnp.abs(velocity.astype(jnp.float32))
+    disp = jnp.maximum(jnp.max(vel[0]) * x, jnp.max(vel[1]) * y)
+    if config.is_3d:
+        disp = jnp.maximum(disp, jnp.max(vel[2]) * z)
+    return disp * dt_sub
+
+
 def _shift_axis(field: jax.Array, axis: int, offset: int) -> jax.Array:
     """field shifted so out[i] = field[i + offset], mirror-padded at edges."""
     if offset == 0:

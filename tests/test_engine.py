@@ -98,6 +98,44 @@ def test_watchdog_recovers_from_nan(tmp_path):
     assert any(not l["healthy"] for l in lines)
 
 
+def test_cfl_guard_trips_on_strong_forcing(tmp_path):
+    """The fast advect clamps backtrace displacement to MAX_DISP voxels
+    (sim/advect_fast.py); the watchdog must turn that silent clamp into a
+    loud warning when a config's velocities approach it (VERDICT r3 item 6;
+    the reference backtraces unclamped, CSAdvect.hlsl:50-54)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from fluidx12_tpu.sim.advect_fast import MAX_DISP
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(16, 16),
+                      max_ray_samples=8, max_light_samples=4,
+                      num_pressure_iters=4)
+    engine = FluidXEngine(cfg)
+    metrics = str(tmp_path / "metrics.jsonl")
+    loop = FrameLoop(engine, show_fps=False, watchdog_every=2,
+                     metrics_path=metrics)
+    # Normal forcing stays far from the clamp: no warning.
+    loop.run(4)
+    assert loop.cfl_warnings == 0
+
+    # Artificially strong velocity: per-substep displacement passes the
+    # warn fraction of MAX_DISP.
+    n_sub = max(int(cfg.advect_substeps), 1)
+    u = 1.5 * MAX_DISP * n_sub / (cfg.time_step * cfg.grid_size[0])
+    engine.state = engine.state.with_velocity(
+        jnp.full_like(engine.state.velocity, u))
+    loop._watchdog()
+    assert loop.cfl_warnings >= 1
+    lines = [json.loads(l) for l in open(metrics)]
+    assert lines[-1]["cfl_disp"] > loop.CFL_WARN_FRACTION * MAX_DISP
+    assert lines[-1]["cfl_warnings"] == loop.cfl_warnings
+    # Earlier records carried a healthy (sub-clamp) displacement.
+    assert all(l["cfl_disp"] is not None for l in lines[:-1])
+    assert all(l["cfl_disp"] < MAX_DISP for l in lines[:-1])
+
+
 def test_smoke_model_api():
     import jax
     from fluidx12_tpu.models import SmokeModel

@@ -134,7 +134,7 @@ def _jacobi_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
 
 def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
                       ytile: int, halo: int, inner: int, nz: int, ny: int,
-                      chunk: int = 8, rr=None):
+                      chunk: int = 8, rr=None, div=None, grad=None):
     """Plane-sweep variant for big volumes (planes > 128x128).
 
     The whole-window kernel (_jacobi_kernel) keeps ~8 window-sized sweep
@@ -149,6 +149,26 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
     planes are halo planes whose values are stale after the first sweep
     anyway (halo >= inner), except at the true volume boundary where the
     clamp IS the boundary condition.
+
+    `div` = (fields_hbm, out_b_hbm): PROLOGUE -- instead of reading b from
+    HBM, DMA the three velocity-channel windows of the combined state and
+    compute b = divergence(v) in VMEM (the projection's first pass,
+    CSProject3D.hlsl:40-53, fused into the pre-smoother; VERDICT r3 item
+    1).  b is wrong only on the window's outermost halo ring (the roll
+    wraps there); `inner` sweeps propagate that at most `inner - 1` cells,
+    so with halo > inner the center (and the rr epilogue's center-ring
+    residual reads) never see it.  The exact center rows/planes are
+    written to out_b_hbm for the post-smoother.
+
+    `grad` = (fields_hbm, out_f_hbm, mc_ref, mdy_ref, sel, rho): EPILOGUE
+    -- after the sweeps, compute the pressure gradient of the final window
+    and apply velocity -= 0.5 * grad / rho plus the 3% boundary damp
+    (CSProject3D.hlsl:92-108) to the three velocity-channel CENTERS,
+    writing them back through the aliased out_f_hbm (centers are disjoint
+    across windows, so the in-place update is hazard-free).  Center-row
+    selection and the y-gradient ride one-hot MXU matrices (mc/mdy,
+    variant picked by `sel`) because traced dynamic-slice starts are
+    illegal on the sublane dim.
     """
     z0 = zi * slab
     y0 = yi * ytile
@@ -158,15 +178,25 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
     lo_z = jnp.clip(z0 - halo, 0, nz - size_z)
     lo_y = pl.multiple_of(jnp.clip(y0 - halo, 0, ny - size_y), 8)
 
-    def body(qa, qb, b_buf, sem_q, sem_b, sem_o, rc_buf=None, sem_rc=None):
+    def body(qa, qb, b_buf, sem_q, sem_b, sem_o, rc_buf=None, sem_rc=None,
+             v_buf=None, sem_v=None, u_buf=None, sem_u=None):
+        f32 = jnp.float32
         cp_q = pltpu.make_async_copy(
             q_hbm.at[pl.ds(lo_z, size_z), pl.ds(lo_y, size_y)], qa, sem_q)
-        cp_b = pltpu.make_async_copy(
-            b_hbm.at[pl.ds(lo_z, size_z), pl.ds(lo_y, size_y)], b_buf, sem_b)
         cp_q.start()
-        cp_b.start()
+        if div is None:
+            cp_b = pltpu.make_async_copy(
+                b_hbm.at[pl.ds(lo_z, size_z), pl.ds(lo_y, size_y)], b_buf,
+                sem_b)
+            cp_b.start()
+        else:
+            fields_hbm, _ = div
+            cps_v = [pltpu.make_async_copy(
+                fields_hbm.at[c, pl.ds(lo_z, size_z), pl.ds(lo_y, size_y)],
+                v_buf.at[c], sem_v) for c in range(3)]
+            for cp in cps_v:
+                cp.start()
         cp_q.wait()
-        cp_b.wait()
 
         nx = qa.shape[2]
         # Edge masks, computed once: rows/lanes clamped at *global* edges.
@@ -177,6 +207,47 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
         first_x = ix == 0
         last_x = ix == nx - 1
         n_chunks = size_z // chunk
+
+        if div is None:
+            cp_b.wait()
+        else:
+            _, out_b_hbm = div
+            for cp in cps_v:
+                cp.wait()
+
+            def dchunk(ci, _):
+                z = ci * chunk
+                ux = v_buf[0, pl.ds(z, chunk)].astype(f32)
+                uy = v_buf[1, pl.ds(z, chunk)].astype(f32)
+                uz = v_buf[2, pl.ds(z, chunk)].astype(f32)
+                dx = (jnp.where(last_x, ux, pltpu.roll(ux, nx - 1, 2))
+                      - jnp.where(first_x, ux, pltpu.roll(ux, 1, 2)))
+                dy = (jnp.where(bot_y, uy, pltpu.roll(uy, size_y - 1, 1))
+                      - jnp.where(top_y, uy, pltpu.roll(uy, 1, 1)))
+                zm = jnp.concatenate(
+                    [v_buf[2, pl.ds(jnp.maximum(z - 1, 0), 1)].astype(f32),
+                     uz[:-1]], axis=0)
+                zp = jnp.concatenate(
+                    [uz[1:],
+                     v_buf[2, pl.ds(jnp.minimum(z + chunk, size_z - 1),
+                                    1)].astype(f32)], axis=0)
+                gz = (jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+                      + z + lo_z)
+                zm = jnp.where(gz == 0, uz, zm)
+                zp = jnp.where(gz == nz - 1, uz, zp)
+                b_buf[pl.ds(z, chunk)] = 0.5 * (dx + dy + (zp - zm))
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, dchunk, 0)
+            # The exact center block feeds the post-smoother from HBM.
+            cp_bo = pltpu.make_async_copy(
+                b_buf.at[pl.ds(z0 - lo_z, slab),
+                         pl.ds(pl.multiple_of(y0 - lo_y, 8), ytile)],
+                out_b_hbm.at[pl.ds(z0, slab),
+                             pl.ds(pl.multiple_of(y0, 8), ytile)],
+                sem_b,
+            )
+            cp_bo.start()
 
         def sweep(src, dst):
             # Walk the window `chunk` z-planes at a time: temporaries are
@@ -278,6 +349,78 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
             )
             cp_rc.start()
             cp_rc.wait()
+
+        if grad is not None:
+            fields_hbm, out_f_hbm, mc_ref, mdy_ref, sel, rho = grad
+            s = 0.5 / rho
+            mc = mc_ref[sel]       # (ytile, size_y) one-hot center rows
+            mdy = mdy_ref[sel]     # (ytile, size_y) = M(y+1) - M(y-1)
+            cps_u = [pltpu.make_async_copy(
+                fields_hbm.at[c, pl.ds(z0, slab),
+                              pl.ds(pl.multiple_of(y0, 8), ytile)],
+                u_buf.at[c], sem_u) for c in range(3)]
+            for cp in cps_u:
+                cp.start()
+            for cp in cps_u:
+                cp.wait()
+            hi = jax.lax.Precision.HIGHEST
+            zc0 = z0 - lo_z
+            ixc = jax.lax.broadcasted_iota(jnp.int32, (1, ytile, nx), 2)
+            first_xc = ixc == 0
+            last_xc = ixc == nx - 1
+            pxc = ((ixc.astype(f32) + 0.5) / nx) * 2.0 - 1.0
+            iyc = jax.lax.broadcasted_iota(jnp.int32, (1, ytile, 1), 1) + y0
+            pyc = ((iyc.astype(f32) + 0.5) / ny) * 2.0 - 1.0
+
+            def damp(u, pv):
+                # 3% boundary band: outward components scale down/reflect.
+                scale = jnp.clip((0.97 - jnp.abs(pv)) / 0.03, -1.0, 1.0)
+                return jnp.where(u * pv > 0.0, u * scale, u)
+
+            def sel_rows(plane):
+                return jnp.dot(mc, plane, precision=hi,
+                               preferred_element_type=f32)
+
+            def gchunk(ci, _):
+                z = zc0 + ci * chunk
+                qw = final[pl.ds(z, chunk)]
+                qc = jnp.stack([sel_rows(qw[j]) for j in range(chunk)], 0)
+                gyv = jnp.stack(
+                    [jnp.dot(mdy, qw[j], precision=hi,
+                             preferred_element_type=f32)
+                     for j in range(chunk)], 0) * s
+                gxv = (jnp.where(last_xc, qc, pltpu.roll(qc, nx - 1, 2))
+                       - jnp.where(first_xc, qc, pltpu.roll(qc, 1, 2))) * s
+                qm = sel_rows(final[pl.ds(jnp.maximum(z - 1, 0), 1)][0])
+                qp = sel_rows(
+                    final[pl.ds(jnp.minimum(z + chunk, size_z - 1), 1)][0])
+                qcm = jnp.concatenate([qm[None], qc[:-1]], axis=0)
+                qcp = jnp.concatenate([qc[1:], qp[None]], axis=0)
+                gzi = (jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+                       + z0 + ci * chunk)
+                qcm = jnp.where(gzi == 0, qc, qcm)
+                qcp = jnp.where(gzi == nz - 1, qc, qcp)
+                gzv = (qcp - qcm) * s
+                pzc = ((gzi.astype(f32) + 0.5) / nz) * 2.0 - 1.0
+                for c, g, pv in ((0, gxv, pxc), (1, gyv, pyc), (2, gzv, pzc)):
+                    u = u_buf[c, pl.ds(ci * chunk, chunk)].astype(f32)
+                    u_buf[c, pl.ds(ci * chunk, chunk)] = (
+                        damp(u - g, pv).astype(u_buf.dtype))
+                return 0
+
+            jax.lax.fori_loop(0, slab // chunk, gchunk, 0)
+            cps_uo = [pltpu.make_async_copy(
+                u_buf.at[c],
+                out_f_hbm.at[c, pl.ds(z0, slab),
+                             pl.ds(pl.multiple_of(y0, 8), ytile)],
+                sem_u) for c in range(3)]
+            for cp in cps_uo:
+                cp.start()
+            for cp in cps_uo:
+                cp.wait()
+
+        if div is not None:
+            cp_bo.wait()
         cp_o.wait()
 
     nx = q_hbm.shape[2]
@@ -293,6 +436,14 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
         scoped.update(
             rc_buf=pltpu.VMEM((slab // 2, ytile // 2, nx // 2), jnp.float32),
             sem_rc=pltpu.SemaphoreType.DMA)
+    if div is not None:
+        scoped.update(
+            v_buf=pltpu.VMEM((3, size_z, size_y, nx), div[0].dtype),
+            sem_v=pltpu.SemaphoreType.DMA)
+    if grad is not None:
+        scoped.update(
+            u_buf=pltpu.VMEM((3, slab, ytile, nx), grad[0].dtype),
+            sem_u=pltpu.SemaphoreType.DMA)
     pl.run_scoped(body, **scoped)
 
 
@@ -393,6 +544,196 @@ def jacobi_pallas_rr(pressure: jax.Array, div: jax.Array, iters: int,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
     )(pressure, div, jnp.asarray(my3), jnp.asarray(px))
+
+
+def _planewise_divrr_kernel(q_hbm, fields, my3, px, out_q, out_b, out_rc, *,
+                            slab: int, ytile: int, halo: int, inner: int,
+                            nz: int, ny: int):
+    """Pre-smoother with BOTH ends fused: divergence prologue (b computed
+    in VMEM from the combined state's velocity channels, exact center
+    written out once for the post-smoother) + residual/restrict epilogue.
+    See _planewise_window's `div` and `rr` hooks."""
+    zi = pl.program_id(0)
+    yi = pl.program_id(1)
+    n_yt = ny // ytile
+    sel = jnp.where(yi == 0, 0, jnp.where(yi == n_yt - 1, 2, 1))
+    _planewise_window(q_hbm, None, out_q, zi, yi, slab=slab, ytile=ytile,
+                      halo=halo, inner=inner, nz=nz, ny=ny,
+                      rr=(out_rc, my3, px, sel), div=(fields, out_b))
+
+
+def _planewise_grad_kernel(q_hbm, b_hbm, fields, mc3, mdy3, out_q, out_f, *,
+                           slab: int, ytile: int, halo: int, inner: int,
+                           nz: int, ny: int, rho: float):
+    """Post-smoother with the projection's tail fused in: after the sweeps,
+    velocity -= 0.5 * grad(q) / rho + boundary damp on the center blocks of
+    the combined state (out_f aliases fields).  See _planewise_window's
+    `grad` hook."""
+    zi = pl.program_id(0)
+    yi = pl.program_id(1)
+    n_yt = ny // ytile
+    sel = jnp.where(yi == 0, 0, jnp.where(yi == n_yt - 1, 2, 1))
+    _planewise_window(q_hbm, b_hbm, out_q, zi, yi, slab=slab, ytile=ytile,
+                      halo=halo, inner=inner, nz=nz, ny=ny,
+                      grad=(fields, out_f, mc3, mdy3, sel, rho))
+
+
+def _fuse_extra(vel_bytes: int) -> float:
+    """f32-window-equivalents the 3 velocity-channel window buffers add."""
+    return 3.0 * vel_bytes / 4.0
+
+
+def jacobi_divrr_supported(shape, iters: int, vel_bytes: int = 2) -> bool:
+    """Gate for jacobi_pallas_divrr: the rr constraints (ytile >= 16 keeps
+    the coarse DMA offsets sublane-aligned, halo > iters leaves fresh halo
+    rings for the residual) plus VMEM room for the velocity windows."""
+    nz, ny, nx = shape
+    if nx % 128 or nz % 2 or ny % 2 or nx % 2:
+        return False
+    if ny * nx <= 128 * 128:
+        return False  # mg takes the whole-window kernels there
+    pw = _plan_planewise(shape, iters, extra_window=_fuse_extra(vel_bytes))
+    if pw is None:
+        return False
+    _, ytile, halo = pw
+    return ytile >= 16 and halo > iters
+
+
+def jacobi_grad_supported(shape, iters: int, vel_bytes: int = 2) -> bool:
+    """Gate for jacobi_pallas_grad: halo > iters leaves the fresh q ring
+    the gradient stencil reads at the center edge; velocity center buffers
+    charge `extra_center` against the VMEM budget."""
+    nz, ny, nx = shape
+    if nx % 128 or nz % 2 or ny % 2 or nx % 2:
+        return False
+    if ny * nx <= 128 * 128:
+        return False
+    pw = _plan_planewise(shape, iters, extra_center=_fuse_extra(vel_bytes))
+    if pw is None:
+        return False
+    _, ytile, halo = pw
+    return ytile >= 8 and halo > iters
+
+
+def _center_row_matrices(ytile: int, size_y: int, halo: int, ny: int):
+    """(mc3, mdy3): per-window-shift one-hot center-row selection and
+    y-gradient (M(y+1) - M(y-1), globally edge-clamped) matrices, shape
+    (3, ytile, size_y).  Variant 0 = window at the global bottom (lo_y=0),
+    1 = interior, 2 = global top; a full-width window (ytile == ny) clamps
+    both ends and uses variant 0."""
+    import numpy as np
+
+    mc3 = np.zeros((3, ytile, size_y), np.float32)
+    mdy3 = np.zeros((3, ytile, size_y), np.float32)
+    full = ytile == ny
+    for v, yc0 in enumerate((0, halo, 2 * halo)):
+        o = min(yc0, size_y - ytile)
+        for i in range(ytile):
+            mc3[v, i, o + i] = 1.0
+            up = o + i + 1
+            dn = o + i - 1
+            if full:
+                up = min(up, size_y - 1)
+                dn = max(dn, 0)
+            else:
+                if v == 0 and i == 0:
+                    dn = o + i  # global bottom row clamps
+                if v == 2 and o + i == size_y - 1:
+                    up = o + i  # global top row clamps
+            mdy3[v, i, up] += 1.0
+            mdy3[v, i, dn] -= 1.0
+    return mc3, mdy3
+
+
+def jacobi_pallas_divrr(fields: jax.Array, pressure: jax.Array, iters: int,
+                        scale: float = 1.0):
+    """`iters` pre-smoother sweeps with the projection's head AND the
+    multigrid's next two passes fused in: returns (q, b, r_c) where
+    b = divergence(fields[:3]) (computed in VMEM from the velocity windows,
+    written once for the post-smoother) and r_c = restrict(b - A q) * scale.
+    Semantics match divergence_pallas + jacobi_sweeps + mg._residual +
+    mg._restrict * scale; cross-checked in tests/test_pallas.py.
+    VERDICT r3 item 1 (ref: CSProject3D.hlsl:40-53 + CSPoisson.hlsli:8-26).
+    """
+    import numpy as np
+
+    nz, ny, nx = pressure.shape
+    vb = fields.dtype.itemsize
+    pw = _plan_planewise(pressure.shape, iters,
+                         extra_window=_fuse_extra(vb))
+    slab, ytile, halo = pw
+    size_y = min(ytile + 2 * halo, ny)
+    yt2 = ytile // 2
+
+    my3 = np.zeros((3, yt2, size_y), np.float32)
+    for v, yc0 in enumerate((0, halo, 2 * halo)):
+        o = min(yc0, size_y - ytile)
+        my3[v, np.arange(ytile) // 2, o + np.arange(ytile)] = 0.5
+    px = np.zeros((nx, nx // 2), np.float32)
+    px[np.arange(nx), np.arange(nx) // 2] = 0.5 * scale
+
+    kernel = functools.partial(
+        _planewise_divrr_kernel, slab=slab, ytile=ytile, halo=halo,
+        inner=iters, nz=nz, ny=ny)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=(jax.ShapeDtypeStruct(pressure.shape, f32),
+                   jax.ShapeDtypeStruct(pressure.shape, f32),
+                   jax.ShapeDtypeStruct((nz // 2, ny // 2, nx // 2), f32)),
+        grid=(nz // slab, ny // ytile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vmem((3, yt2, size_y), lambda zi, yi: (0, 0, 0)),
+            vmem((nx, nx // 2), lambda zi, yi: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+    )(pressure, fields, jnp.asarray(my3), jnp.asarray(px))
+
+
+def jacobi_pallas_grad(pressure: jax.Array, div: jax.Array,
+                       fields: jax.Array, iters: int, rho: float):
+    """`iters` post-smoother sweeps with the projection's tail fused in:
+    returns (q, fields') where fields' velocity channels carry
+    v - 0.5 * grad(q_final) / rho with the 3% boundary damp, applied IN
+    PLACE (out aliases fields; color channels untouched, zero traffic).
+    Semantics match jacobi_sweeps + grad_damp_pallas; cross-checked in
+    tests/test_pallas.py.  VERDICT r3 item 1 (ref: CSProject3D.hlsl:92-108).
+    """
+    nz, ny, nx = pressure.shape
+    vb = fields.dtype.itemsize
+    pw = _plan_planewise(pressure.shape, iters,
+                         extra_center=_fuse_extra(vb))
+    slab, ytile, halo = pw
+    size_y = min(ytile + 2 * halo, ny)
+    mc3, mdy3 = _center_row_matrices(ytile, size_y, halo, ny)
+
+    kernel = functools.partial(
+        _planewise_grad_kernel, slab=slab, ytile=ytile, halo=halo,
+        inner=iters, nz=nz, ny=ny, rho=rho)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        interpret=(jax.default_backend() == "cpu"),
+        out_shape=(jax.ShapeDtypeStruct(pressure.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(fields.shape, fields.dtype)),
+        grid=(nz // slab, ny // ytile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vmem((3, ytile, size_y), lambda zi, yi: (0, 0, 0)),
+            vmem((3, ytile, size_y), lambda zi, yi: (0, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        input_output_aliases={2: 1},
+    )(pressure, div, fields, jnp.asarray(mc3), jnp.asarray(mdy3))
 
 
 def _jacobi2d_kernel(q_ref, b_ref, out_ref, *, iters: int):
@@ -547,13 +888,17 @@ def _plan(shape, slab: int, inner: int):
 _CHUNK = 8  # z-planes per sweep step; keeps fori_loop trip counts low
 
 
-def _plan_planewise(shape, inner: int):
+def _plan_planewise(shape, inner: int, extra_window: float = 0.0,
+                    extra_center: float = 0.0):
     """(slab, ytile, halo) for the plane-sweep kernel, or None.
 
     halo is max(inner, 8) rounded to a multiple of 8 (the lo_y DMA
     alignment hint requires it).  VMEM: the window triple-buffer
     (q ping-pong + b) plus ~8 chunk-sized sweep temporaries must fit under
-    Mosaic's ~16 MB scoped stack.
+    Mosaic's ~16 MB scoped stack.  extra_window / extra_center charge
+    additional f32-window-equivalents against the budget, scaled by the
+    full window depth / the center slab depth respectively (the fused
+    div-prologue / grad-epilogue variants carry velocity buffers).
     """
     nz, ny, nx = shape
     halo = -(-max(inner, 8) // 8) * 8
@@ -568,7 +913,8 @@ def _plan_planewise(shape, inner: int):
             if ny % ytile or (ytile != ny and ny < ytile + 2 * halo):
                 continue
             size_y = min(ytile + 2 * halo, ny)
-            size = (size_z * 3 + _CHUNK * 8) * size_y * nx * 4
+            size = int((size_z * (3 + extra_window) + slab * extra_center
+                        + _CHUNK * 8) * size_y * nx * 4)
             if size > budget:
                 continue
             # Tie-break toward wide y-windows: the sweep loops over z-chunks,

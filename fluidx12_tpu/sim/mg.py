@@ -137,6 +137,45 @@ def mg_supported(zyx) -> bool:
     return all(n % 2 == 0 and n >= 16 for n in (nz, ny, nx))
 
 
+def mg_fused_supported(zyx, vel_bytes: int = 2) -> bool:
+    """True when the FULLY fused projection (mg_project_fused) can run this
+    volume on TPU: divergence rides the pre-smoother prologue, grad+damp
+    the post-smoother epilogue (VERDICT r3 item 1)."""
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi_divrr_supported,
+        jacobi_grad_supported,
+    )
+    from fluidx12_tpu.ops.pallas.stencil import prolong_pallas_supported
+
+    return (mg_supported(zyx)
+            and jacobi_divrr_supported(zyx, MG_PRE, vel_bytes)
+            and jacobi_grad_supported(zyx, MG_POST, vel_bytes)
+            and prolong_pallas_supported(zyx))
+
+
+def mg_project_fused(fields: jax.Array, q: jax.Array, rho: float):
+    """The WHOLE projection as one fused V-cycle: divergence never runs as
+    a standalone pass (computed in the pre-smoother's windows, its exact
+    center written once for the post-smoother), and gradient-subtract +
+    boundary damp ride the post-smoother's epilogue on the velocity
+    channels in place.  Returns (fields', q').  Two full volume round
+    trips (b read+write, standalone grad's pressure re-read) disappear vs
+    the unfused path; semantics match it exactly (tests/test_pallas.py,
+    tests/test_sim.py).  Ref: CSProject3D.hlsl:39-108 (the projection's
+    three dispatches) + CSPoisson.hlsli:8-26."""
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi_pallas_divrr,
+        jacobi_pallas_grad,
+    )
+    from fluidx12_tpu.ops.pallas.stencil import prolong_correct_pallas
+
+    q, b, r_c = jacobi_pallas_divrr(fields, q, MG_PRE, scale=4.0)
+    e_c = _smooth(jnp.zeros_like(r_c), r_c, MG_COARSE_ITERS, use_pallas=True)
+    q = prolong_correct_pallas(q, e_c)
+    q, fields = jacobi_pallas_grad(q, b, fields, MG_POST, rho)
+    return fields, q
+
+
 def mg_solve(q: jax.Array, b: jax.Array, pre: int = MG_PRE,
              post: int = MG_POST, coarse_iters: int = MG_COARSE_ITERS,
              use_pallas: bool = True) -> jax.Array:

@@ -144,6 +144,7 @@ def project(
             # edge-clamped shift (16+ ms of relayout at 256^3); the kernels
             # do one pass through VMEM (ops/pallas/stencil.py).
             use_stencil = stencil_pallas_supported(config.zyx)
+    use_mg_fused = False
     if config.fast_sim and config.mg_pressure and is_3d:
         from fluidx12_tpu.sim.mg import mg_supported
 
@@ -153,9 +154,21 @@ def project(
         # core/config.py mg_min_plane); smaller grids keep the
         # reference-faithful fixed-iteration relaxation.
         use_mg = y * x >= config.mg_min_plane and mg_supported(config.zyx)
+        if use_mg and use_stencil:
+            from fluidx12_tpu.sim.mg import mg_fused_supported
+
+            # Fully fused projection (big planes only): divergence rides
+            # the pre-smoother prologue, grad+damp the post-smoother
+            # epilogue -- two fewer full-volume round trips per frame.
+            use_mg_fused = mg_fused_supported(
+                config.zyx, vel_bytes=fields.dtype.itemsize)
 
     def run(args):
         flds, q = args
+        if use_mg_fused:
+            from fluidx12_tpu.sim.mg import mg_project_fused
+
+            return mg_project_fused(flds, q, rho)
         if use_stencil:
             from fluidx12_tpu.ops.pallas.stencil import (
                 divergence_pallas,

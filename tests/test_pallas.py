@@ -201,6 +201,93 @@ def test_jacobi_rr_fused_matches_smooth_residual_restrict():
     np.testing.assert_allclose(np.asarray(rc_got), rc_ref, atol=1e-4)
 
 
+def test_jacobi_divrr_fused_matches_chain():
+    """Pre-smoother with BOTH ends fused (divergence prologue + residual/
+    restrict epilogue) vs the unfused chain: b = div(v); q = smooth(q, b);
+    r_c = restrict(b - A q) * scale.  VERDICT r3 item 1."""
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi_divrr_supported, jacobi_pallas_divrr)
+    from fluidx12_tpu.sim.mg import _residual, _restrict
+    from fluidx12_tpu.sim.project import divergence
+
+    assert jacobi_divrr_supported((256, 256, 256), 4)
+    assert not jacobi_divrr_supported((128, 128, 128), 4)  # whole-window path
+    assert not jacobi_divrr_supported((256, 256, 256), 8)  # no fresh ring
+
+    rng = np.random.default_rng(17)
+    # ny = 144 exercises all three window y-shifts (bottom/interior/top);
+    # 5 channels check the velocity-slice addressing of the combined state.
+    shape = (32, 144, 256)
+    assert jacobi_divrr_supported(shape, 4, vel_bytes=4)
+    fields = jnp.asarray(rng.standard_normal((5,) + shape).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    b_ref = divergence(fields, True)
+    q_ref = jacobi_sweeps(q, b_ref, 4, True)
+    rc_ref = np.asarray(_restrict(_residual(q_ref, b_ref, use_pallas=False)) * 4.0)
+    q_got, b_got, rc_got = jacobi_pallas_divrr(fields, q, 4, scale=4.0)
+    np.testing.assert_allclose(np.asarray(b_got), np.asarray(b_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_got), np.asarray(q_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rc_got), rc_ref, atol=1e-4)
+
+
+def test_jacobi_grad_fused_matches_chain():
+    """Post-smoother with the projection tail fused (gradient-subtract +
+    boundary damp on the velocity channels, in place) vs the unfused chain.
+    VERDICT r3 item 1."""
+    from fluidx12_tpu.core.config import FluidConfig
+    from fluidx12_tpu.ops.pallas.jacobi import (
+        jacobi_grad_supported, jacobi_pallas_grad)
+    from fluidx12_tpu.sim.project import boundary_damp, subtract_gradient
+
+    assert jacobi_grad_supported((256, 256, 256), 4)
+    assert not jacobi_grad_supported((128, 128, 128), 4)
+
+    rng = np.random.default_rng(19)
+    shape = (32, 144, 256)
+    assert jacobi_grad_supported(shape, 4, vel_bytes=4)
+    cfg = FluidConfig(grid_size=(256, 144, 32))
+    assert cfg.zyx == shape
+    fields = jnp.asarray(rng.standard_normal((5,) + shape).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    rho = 0.48
+    q_ref = jacobi_sweeps(q, b, 4, True)
+    vel = boundary_damp(subtract_gradient(fields, q_ref, rho, True), cfg)
+    f_ref = np.concatenate([np.asarray(vel), np.asarray(fields[3:])], axis=0)
+    q_got, f_got = jacobi_pallas_grad(q, b, fields, 4, rho)
+    np.testing.assert_allclose(np.asarray(q_got), np.asarray(q_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_got), f_ref, atol=1e-4)
+
+
+def test_mg_project_fused_matches_unfused():
+    """The fully fused projection (mg_project_fused) vs the unfused kernel
+    chain (divergence -> mg_solve -> grad+damp) on bf16 production storage."""
+    from fluidx12_tpu.ops.pallas.stencil import (
+        divergence_pallas, grad_damp_pallas)
+    from fluidx12_tpu.sim.mg import (
+        mg_fused_supported, mg_project_fused, mg_solve)
+
+    assert mg_fused_supported((256, 256, 256), vel_bytes=2)
+    shape = (32, 144, 256)
+    assert mg_fused_supported(shape, vel_bytes=2)
+    rng = np.random.default_rng(23)
+    fields = jnp.asarray(
+        rng.standard_normal((5,) + shape).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    rho = 0.48
+
+    b = divergence_pallas(fields)
+    q_ref = mg_solve(q, b, use_pallas=False)
+    f_ref = grad_damp_pallas(fields, q_ref, rho)
+
+    f_got, q_got = mg_project_fused(fields, q, rho)
+    np.testing.assert_allclose(np.asarray(q_got), np.asarray(q_ref), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(f_got, dtype=np.float32), np.asarray(f_ref, np.float32),
+        atol=0.03)
+
+
 def test_prolong_correct_kernel_matches_xla():
     """q + prolong(e_c) streaming kernel vs the mg XLA chain."""
     from fluidx12_tpu.ops.pallas.stencil import prolong_correct_pallas

@@ -9,8 +9,9 @@ exchange over ICI for the 1-cell stencil halo"):
   backtrace to it (semi-Lagrangian displacement is CFL-bounded in practice;
   `|u_z| * dt * Z <= ADVECT_HALO` voxels holds by a wide margin for the
   reference forcing, where |u| stays O(1) in sim units and dt = 2/N),
-- the Jacobi pressure solve exchanges a 1-plane halo per sweep (64 small
-  (Y, X) slab exchanges per step, latency-bound but tiny),
+- the Jacobi pressure solve is halo-depth batched: one k-plane exchange buys
+  k local sweeps with redundant halo recompute (8 exchanges per 64-sweep
+  solve instead of 64 -- per-sweep 1-plane messages are ICI latency poison),
 - divergence/gradient/boundary passes are local after a 1-plane exchange.
 
 This is the simulation analog of sequence parallelism: the state never
@@ -141,21 +142,73 @@ def _halo_shift_z(q_ext, offset):
     return jax.lax.dynamic_slice_in_dim(q_ext, 1 + offset, zl, axis=0)
 
 
-def _sharded_sweeps(q, div, iters: int, is_3d: bool):
-    """`iters` Jacobi sweeps with a 1-plane z-halo exchange per sweep."""
+# Fine-level halo depth: planes exchanged per round on the Jacobi path.
+# Each ICI round trip buys `k` local sweeps (redundant halo recompute), so
+# exchanges per 64-sweep solve drop 64 -> 8 -- per-sweep 1-plane exchanges
+# are pure latency poison on real ICI (VERDICT r3 item 3; the single-chip
+# plane-sweep kernel's `inner`-sweeps windows prove the same trick,
+# ops/pallas/jacobi.py).
+_SWEEP_HALO = 8
+
+
+def _sharded_sweeps(q, div, iters: int, is_3d: bool,
+                    halo_depth: int = _SWEEP_HALO):
+    """`iters` Jacobi sweeps, halo-depth batched (3D).
+
+    Per round: exchange `k` z-planes once (the FIRST round piggybacks the
+    rhs in the same message), then run `k` sweeps on the halo-extended
+    block.  A sweep contaminates one plane inward from the extended edge,
+    so after k sweeps exactly the center is intact -- bit-identical to
+    per-sweep exchange.  The global-edge clamp (CSProject3D.hlsl:77-88)
+    rides a global-z mask, so edge shards never read their replicate-filled
+    halos.  Rounds are a static Python loop: the jaxpr's ppermute count IS
+    the per-solve exchange count (asserted in tests/test_parallel.py).
+    """
     njac = 6.0 if is_3d else 4.0
 
-    def sweep(_, qq):
-        s = (
-            neighbor_shift(qq, 2, +1) + neighbor_shift(qq, 2, -1)
-            + neighbor_shift(qq, 1, +1) + neighbor_shift(qq, 1, -1)
-        )
-        if is_3d:
-            q_ext = _exchange_z_halo(qq, 1, axis=0)
-            s = s + _halo_shift_z(q_ext, +1) + _halo_shift_z(q_ext, -1)
-        return (s - div) / njac
+    if not is_3d:
+        def sweep2d(_, qq):
+            s = (neighbor_shift(qq, 2, +1) + neighbor_shift(qq, 2, -1)
+                 + neighbor_shift(qq, 1, +1) + neighbor_shift(qq, 1, -1))
+            return (s - div) / njac
 
-    return jax.lax.fori_loop(0, iters, sweep, q)
+        return jax.lax.fori_loop(0, iters, sweep2d, q)
+
+    zl = q.shape[0]
+    k = max(1, min(halo_depth, zl, iters))
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    nzg = n * zl
+    # Global plane ids of the halo-extended block (edge shards' out-of-range
+    # halo planes are replicate-filled and never read: the masks below
+    # substitute the clamp BEFORE the neighbor fetch reaches them).
+    gz = (idx * zl - k + jnp.arange(zl + 2 * k))[:, None, None]
+
+    # Round 1 exchanges q and the rhs in ONE message (the rhs is constant
+    # across sweeps, so later rounds re-exchange q only).
+    ext2 = _exchange_z_halo(jnp.stack([q, div]), k, axis=1)
+    div_ext = ext2[1]
+
+    def sweep_ext(_, e):
+        s = (neighbor_shift(e, 2, +1) + neighbor_shift(e, 2, -1)
+             + neighbor_shift(e, 1, +1) + neighbor_shift(e, 1, -1))
+        zm = jnp.concatenate([e[:1], e[:-1]], axis=0)
+        zp = jnp.concatenate([e[1:], e[-1:]], axis=0)
+        zm = jnp.where(gz == 0, e, zm)
+        zp = jnp.where(gz == nzg - 1, e, zp)
+        return (s + zm + zp - div_ext) / njac
+
+    def run_round(ext, m):
+        ext = jax.lax.fori_loop(0, m, sweep_ext, ext)
+        return ext[k:k + zl]
+
+    q = run_round(ext2[0], min(k, iters))
+    done = min(k, iters)
+    while done < iters:
+        m = min(k, iters - done)
+        q = run_round(_exchange_z_halo(q, k, axis=0), m)
+        done += m
+    return q
 
 
 def _sharded_residual(q, div):
@@ -173,11 +226,12 @@ def _sharded_mg(q, div, pre=None, post=None, coarse_iters=None):
     Grid transfers are shard-LOCAL except one coarse-plane halo exchange in
     the z prolongation: x/y run the same pooling/interp matmuls as the
     single-device solver, and the z box-average pairs planes within a shard
-    (the caller guarantees an even local z).  Communication per projection
-    drops from num_pressure_iters (= 64) plane exchanges to
-    pre + post + coarse_iters + 2 (~42, most at half-plane size), while the
-    coarse sweeps run on 1/8 the voxels -- the solver is both cheaper *and*
-    reaches a lower residual than the 64-sweep schedule (see sim/mg.py).
+    (the caller guarantees an even local z).  All smoothing is halo-depth
+    batched (VERDICT r3 item 3): pre-smooth + residual ride ONE
+    (pre + 1)-deep exchange (fresh-ring trick), the coarse sweeps batch 11
+    per round trip, the post-smooth takes one `post`-deep exchange --
+    6 exchanges per V-cycle total (vs 64 for the per-sweep Jacobi
+    schedule), asserted from the jaxpr in tests/test_parallel.py.
     """
     from fluidx12_tpu.sim.mg import (
         MG_COARSE_ITERS,
@@ -208,12 +262,49 @@ def _sharded_mg(q, div, pre=None, post=None, coarse_iters=None):
         odd = 0.75 * e + 0.25 * ext[2:]
         return jnp.stack([even, odd], axis=1).reshape(zl, ny, nx)
 
-    q = _sharded_sweeps(q, div, pre, True)
-    r = _sharded_residual(q, div)
+    # Pre-smooth + residual off ONE exchange: with a (pre + 1)-deep halo,
+    # the extended block still holds one fresh halo ring after `pre` sweeps
+    # (staleness frontier moves 1 plane/sweep), which is exactly what the
+    # residual's z-stencil needs -- the same fresh-ring trick as the
+    # single-chip rr kernel (ops/pallas/jacobi.py).  The rhs rides the same
+    # message.  Works when the local block holds pre + 1 planes; thinner
+    # shards fall back to batched sweeps + a 1-plane residual exchange.
+    zl = q.shape[0]
+    n = jax.lax.axis_size(Z_AXIS)
+    idx = jax.lax.axis_index(Z_AXIS)
+    nzg = n * zl
+    if zl >= pre + 1:
+        k = pre + 1
+        gz = (idx * zl - k + jnp.arange(zl + 2 * k))[:, None, None]
+        ext2 = _exchange_z_halo(jnp.stack([q, div]), k, axis=1)
+        div_ext = ext2[1]
+
+        def zfetch(e):
+            zm = jnp.concatenate([e[:1], e[:-1]], axis=0)
+            zp = jnp.concatenate([e[1:], e[-1:]], axis=0)
+            return (jnp.where(gz == 0, e, zm), jnp.where(gz == nzg - 1, e, zp))
+
+        def sweep_ext(_, e):
+            s = (neighbor_shift(e, 2, +1) + neighbor_shift(e, 2, -1)
+                 + neighbor_shift(e, 1, +1) + neighbor_shift(e, 1, -1))
+            zm, zp = zfetch(e)
+            return (s + zm + zp - div_ext) / 6.0
+
+        ext = jax.lax.fori_loop(0, pre, sweep_ext, ext2[0])
+        q = ext[k:k + zl]
+        zm, zp = zfetch(ext)
+        s_ext = (neighbor_shift(ext, 2, +1) + neighbor_shift(ext, 2, -1)
+                 + neighbor_shift(ext, 1, +1) + neighbor_shift(ext, 1, -1)
+                 + zm + zp)
+        r = (div_ext - (s_ext - 6.0 * ext))[k:k + zl]
+    else:
+        q = _sharded_sweeps(q, div, pre, True)
+        r = _sharded_residual(q, div)
     r_c = restrict(r) * 4.0
-    e_c = _sharded_sweeps(jnp.zeros_like(r_c), r_c, coarse_iters, True)
+    e_c = _sharded_sweeps(jnp.zeros_like(r_c), r_c, coarse_iters, True,
+                          halo_depth=11)
     q = q + prolong(e_c)
-    return _sharded_sweeps(q, div, post, True)
+    return _sharded_sweeps(q, div, post, True, halo_depth=post)
 
 
 def _sharded_project(velocity, pressure, time_step, config: FluidConfig):

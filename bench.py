@@ -230,11 +230,21 @@ def main():
         result["batched_k8_steps_per_sec"] = round(batched_sps, 2)
         result["batched_matches_sequential"] = batched_exact
 
+    # --all / --check write BENCH_ALL.json next to the headline JSON so the
+    # full suite + golden verdicts are machine-readable artifacts, not
+    # stderr quotes (VERDICT r3 item 5; ref: FluidX12.cpp:662-710).
+    artifact = {"relay_canary_ms": result["relay_canary_ms"],
+                "headline": result}
     if "--all" in sys.argv:
-        run_config_suite()
-        run_pass_breakdown()
+        artifact["configs"] = run_config_suite()
+        artifact["breakdown"] = run_pass_breakdown()
     if "--check" in sys.argv:
-        run_golden_check()
+        artifact["goldens"] = run_golden_check()
+    if "--all" in sys.argv or "--check" in sys.argv:
+        path = os.path.join(os.path.dirname(__file__), "BENCH_ALL.json")
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"# wrote {path}", file=sys.stderr)
 
     print(json.dumps(result))
 
@@ -270,8 +280,9 @@ def _time_engine(engine, warm=20, n=15, trials=3, batch=1):
 
 
 def run_config_suite():
-    """Measure every BASELINE.json config; one stderr line each."""
-    from fluidx12_tpu.core.config import FluidConfig, RenderMethod
+    """Measure every BASELINE.json config; one stderr line each.  Returns
+    the rows as dicts for the BENCH_ALL.json artifact."""
+    from fluidx12_tpu.core.config import PRESETS, FluidConfig, RenderMethod
 
     from fluidx12_tpu.engine.fluidx import FluidXEngine
 
@@ -290,14 +301,24 @@ def run_config_suite():
          RenderMethod.RAY_MARCH_SEPARATE, None, 24, 16, 8),
         ("Fluid3D 128^3 direct ray cast (screen-space)", FluidConfig(),
          RenderMethod.RAY_MARCH_DIRECT_SEPARATE, None, 20, 15),
+        # Per-sample shadow rays through the screen-space warp (the last
+        # unbenchmarked method row, VERDICT r3 item 8).
+        ("Fluid3D 128^3 direct MERGED (per-sample shadows)", FluidConfig(),
+         RenderMethod.RAY_MARCH_DIRECT_MERGED, None, 20, 15),
         ("Fluid3D 128^3 @1080p", FluidConfig(viewport=(1920, 1080)),
          RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
         ("Fluid3D 256^3 separate cube", FluidConfig(grid_size=(256, 256, 256)),
          RenderMethod.RAY_MARCH_SEPARATE, None, 20, 15),
+        # The reference's FluidGI.bat preset verbatim: 150^3 is NOT a
+        # 128-multiple, so this row discloses the XLA-twin fallback's cost
+        # (VERDICT r3 item 8; ref: Bin/FluidGI.bat:1).
+        ("FluidGI preset 150^3 (XLA-twin fallback)", PRESETS["fluidgi"],
+         RenderMethod.RAY_MARCH_SEPARATE, gi_radiance, 10, 10),
         ("FluidGI SH irradiance 256^3", FluidConfig(
             grid_size=(256, 256, 256), has_light_probe=True),
          RenderMethod.RAY_MARCH_SEPARATE, gi_radiance, 10, 10),
     ]
+    rows = []
     for name, cfg, method, rad, warm, n, *extra in cases:
         try:
             radiance = rad() if rad is not None else None
@@ -307,8 +328,13 @@ def run_config_suite():
                               batch=extra[0] if extra else 1)
             print(f"# {name}: {dt*1000:.2f} ms/step = {1/dt:.1f} steps/s",
                   file=sys.stderr)
+            rows.append({"name": name, "ms_per_step": round(dt * 1000, 3),
+                         "steps_per_sec": round(1 / dt, 2)})
         except Exception as e:  # keep the suite best-effort
             print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            rows.append({"name": name,
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"})
+    return rows
 
 
 def run_pass_breakdown(n=256):
@@ -376,13 +402,29 @@ def run_pass_breakdown(n=256):
     vox = n ** 3
     half = 2  # bf16/f16 bytes
     state_b = 7 * vox * half + vox * 4
-    if n * n >= cfg.mg_min_plane:
+    from fluidx12_tpu.sim.mg import mg_fused_supported
+    if mg_fused_supported(cfg.zyx, vel_bytes=half):
+        # FULLY fused projection (sim/mg.mg_project_fused): divergence rides
+        # the pre-smoother windows (vel windows at 1.875x redundancy, b
+        # center written once), grad+damp the post-smoother epilogue (vel
+        # centers r+w in place); + prolong-correct + coarse cycle.
+        proj_b = vox * 4 * (
+            (1.875 + 1.0 + 1.0 + 0.125) + 1.875 * 3 * 0.5   # divrr + vel wins
+            + 4.75                                          # coarse cycle
+            + 1.0 + 0.125 + 1.0                             # prolong-correct
+            + (1.875 + 1.875 + 1.0) + 2 * 1.5 * 0.5)        # grad + vel ctr r/w
+    elif n * n >= cfg.mg_min_plane:
         # Multigrid pressure path (sim/mg.py): 2 fine smooth calls with
         # 1.875x window redundancy + residual (1-plane z edges) +
-        # transfers + coarse cycle.
+        # transfers + coarse cycle; separate div / grad+damp passes.
         poisson_b = vox * 4 * (2 * (2 * 1.875 + 1) + 2.5 + 1.5 + 4.75)
+        proj_b = (poisson_b
+                  + 3 * vox * half + vox * 4   # divergence (reads vel, f32 out)
+                  + 6 * vox * half + 1.25 * vox * 4)  # grad+damp in place
     else:
         poisson_b = vox * 4 * 2 * (64 // 8) * 2.3  # 64-sweep Jacobi trips
+        proj_b = (poisson_b + 3 * vox * half + vox * 4
+                  + 6 * vox * half + 1.25 * vox * 4)
     from fluidx12_tpu.ops.pallas.advect import fused_xy_supported
     if cfg.advect_fuse_xy and fused_xy_supported(cfg.zyx):
         # Fused x+y kernel: one read + one write of the 7-channel state,
@@ -391,9 +433,7 @@ def run_pass_breakdown(n=256):
     else:
         lateral_trips = 2 + 2  # separate x and y passes, r+w each
     sim_b = (7 * vox * half * (lateral_trips + 2.5)  # + z (1.5x halo read)
-             + poisson_b
-             + 3 * vox * half + vox * 4      # divergence (reads vel, f32 out)
-             + 6 * vox * half + 1.25 * vox * 4)  # grad+damp in place
+             + proj_b)
     light_b = vox * half + 3 * vox * half * 2
     slices = min(cfg.max_ray_samples, n)
     march_b = 4 * vox * half + 3 * (4 * slices * n * n * half * 3)
@@ -404,6 +444,7 @@ def run_pass_breakdown(n=256):
 
     names = ["simulate", "+light map", "+cube march", "+resolve", "+composite"]
     prev = 0.0
+    rows = []
     print(f"# pass breakdown @{n}^3 (composed deltas):", file=sys.stderr)
     for depth, name in enumerate(names):
         f = prefix(depth)
@@ -425,13 +466,20 @@ def run_pass_breakdown(n=256):
         print(f"#   {name:14s} {ms:8.2f} ms total, delta {delta:7.2f} ms, "
               f"HBM floor {floor_ms:6.2f} ms -> {pct:5.1f}% of roofline",
               file=sys.stderr)
+        rows.append({"pass": name, "grid": n, "total_ms": round(ms, 3),
+                     "delta_ms": round(delta, 3),
+                     "hbm_floor_ms": round(floor_ms, 3),
+                     "roofline_pct": round(pct, 1)})
         prev = ms
+    return rows
 
 
 def run_golden_check():
     """Render the golden configs on the CURRENT backend (TPU) and compare
     against the CPU-rendered goldens in tests/goldens (loose tolerance:
-    backend math + bf16 state drift over the run)."""
+    backend math + bf16 state drift over the run).  Returns rows for
+    BENCH_ALL.json, including the faithful-vs-fast frame check at flagship
+    resolution (VERDICT r3 item 7)."""
     import numpy as np
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
@@ -440,6 +488,7 @@ def run_golden_check():
     from fluidx12_tpu.utils.png import read_png
 
     golden_dir = os.path.join(os.path.dirname(__file__), "tests", "goldens")
+    rows = []
     for name in CONFIGS:
         try:
             img = render_case(name).astype(np.int32)
@@ -449,9 +498,60 @@ def run_golden_check():
             print(f"# golden-check {name}: mean {diff.mean():.2f}, "
                   f">60 {(diff > 60).mean():.4f} -> {'OK' if ok else 'MISMATCH'}",
                   file=sys.stderr)
+            rows.append({"name": name, "mean_diff": round(float(diff.mean()), 3),
+                         "frac_gt60": round(float((diff > 60).mean()), 5),
+                         "ok": bool(ok)})
         except Exception as e:
             print(f"# golden-check {name}: FAILED {type(e).__name__}: {e}",
                   file=sys.stderr)
+            rows.append({"name": name,
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"})
+    rows.append(run_faithful_frame_check())
+    return rows
+
+
+def run_faithful_frame_check():
+    """One FAITHFUL-stack frame at flagship resolution (128^3 / 800^2) on
+    the current backend, compared against the fast stack from the same
+    developed state -- the dual-stack parity argument at the resolution
+    being benchmarked, not only at the 48^3 test size (VERDICT r3 item 7;
+    SURVEY.md section 4.2).  The faithful frame costs seconds, so it runs
+    once here rather than in the per-frame suite."""
+    import dataclasses
+
+    import numpy as np
+
+    name = "faithful-vs-fast @128^3/800^2"
+    try:
+        import jax
+
+        from fluidx12_tpu.core.config import FluidConfig
+        from fluidx12_tpu.engine.fluidx import FluidXEngine
+
+        cfg = FluidConfig()  # flagship 128^3, 800^2 viewport
+        engine = FluidXEngine(cfg)
+        for _ in range(60):
+            engine.step_frame()
+        snap = jax.device_get(engine.state)  # developed state
+        fast = np.asarray(engine.step_frame(), np.float32)
+
+        slow_cfg = dataclasses.replace(cfg, fast_sim=False, fast_render=False,
+                                       use_pallas=False)
+        slow_engine = FluidXEngine(slow_cfg)
+        slow_engine.state = jax.device_put(snap)
+        slow = np.asarray(slow_engine.step_frame(), np.float32)
+        d = np.abs(fast - slow)
+        # u8-scale stats (frames are float [0,1] premultiplied rgba).
+        mean255 = float(d.mean() * 255.0)
+        max255 = float(d.max() * 255.0)
+        ok = mean255 < 2.0
+        print(f"# {name}: mean {mean255:.3f}/255, max {max255:.1f}/255 "
+              f"-> {'OK' if ok else 'MISMATCH'}", file=sys.stderr)
+        return {"name": name, "mean_diff_u8": round(mean255, 3),
+                "max_diff_u8": round(max255, 2), "ok": bool(ok)}
+    except Exception as e:
+        print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+        return {"name": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
 if __name__ == "__main__":

@@ -240,6 +240,7 @@ def main():
         artifact["breakdown"] = run_pass_breakdown()
     if "--check" in sys.argv:
         artifact["goldens"] = run_golden_check()
+        artifact["sharded_pallas"] = run_sharded_pallas_check()
     if "--all" in sys.argv or "--check" in sys.argv:
         path = os.path.join(os.path.dirname(__file__), "BENCH_ALL.json")
         with open(path, "w") as f:
@@ -403,7 +404,7 @@ def run_pass_breakdown(n=256):
     half = 2  # bf16/f16 bytes
     state_b = 7 * vox * half + vox * 4
     from fluidx12_tpu.sim.mg import mg_fused_supported
-    if mg_fused_supported(cfg.zyx, vel_bytes=half):
+    if cfg.mg_project_fused and mg_fused_supported(cfg.zyx, vel_bytes=half):
         # FULLY fused projection (sim/mg.mg_project_fused): divergence rides
         # the pre-smoother windows (vel windows at 1.875x redundancy, b
         # center written once), grad+damp the post-smoother epilogue (vel
@@ -508,6 +509,93 @@ def run_golden_check():
                          "error": f"{type(e).__name__}: {str(e)[:200]}"})
     rows.append(run_faithful_frame_check())
     return rows
+
+
+def run_sharded_pallas_check():
+    """Run the SHARDED frame on a 1-device mesh on the real chip with
+    use_pallas=True: proves the multi-chip program the dryrun certifies on
+    CPU (with XLA twins) compiles and runs with the production Pallas
+    kernels inside shard_map on hardware (VERDICT r3 item 4).
+
+    What this exercises: the per-shard render body's Pallas kernels (GI
+    ambient chain stencil.gi_light_pallas + the gradient kernels via
+    render_light_map_fast, engaged by has_light_probe at 128^3).  The
+    sharded SIM bodies are XLA by design (their stencils are re-expressed
+    for halo-batched shard_map, parallel/domain.py), so no sim kernel claim
+    is made -- the row discloses exactly which gates were live."""
+    import numpy as np
+
+    name = "sharded frame + Pallas kernels @1-device mesh (TPU)"
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from fluidx12_tpu.core import math3d as m3
+        from fluidx12_tpu.core.camera import OrbitCamera
+        from fluidx12_tpu.core.config import FluidConfig
+        from fluidx12_tpu.core.state import (default_scene_params,
+                                             make_initial_state)
+        from fluidx12_tpu.ops.pallas.stencil import stencil_pallas_supported
+        from fluidx12_tpu.parallel.domain import shard_state, sharded_simulate
+        from fluidx12_tpu.parallel.mesh import make_grid_mesh
+        from fluidx12_tpu.parallel.render import sharded_render_frame
+
+        if jax.default_backend() != "tpu":
+            return {"name": name, "skipped": "backend is not tpu"}
+
+        cfg = FluidConfig(has_light_probe=True)  # GI: pallas ambient chain
+        camera = OrbitCamera(width=cfg.viewport[0], height=cfg.viewport[1])
+        world = m3.scaling(cfg.volume_scale)
+        wvp = world @ camera.view_proj
+        params = default_scene_params(cfg)._replace(
+            eye_pt=jnp.asarray(camera.eye), world=jnp.asarray(world),
+            world_i=jnp.asarray(m3.inverse(world)),
+            world_view_proj=jnp.asarray(wvp),
+            world_view_proj_i=jnp.asarray(m3.inverse(wvp)),
+            screen_to_world=jnp.asarray(m3.inverse(camera.view_proj)))
+        rng = np.random.default_rng(7)
+        sh_coeffs = jnp.asarray(
+            rng.uniform(0.0, 0.5, (9, 3)).astype(np.float32))
+
+        mesh = make_grid_mesh(1)
+        state = shard_state(make_initial_state(cfg), mesh)
+
+        @jax.jit
+        def frame(s):
+            s = sharded_simulate(s, cfg.time_step, cfg, mesh)
+            return s, sharded_render_frame(s.color, params, cfg, mesh,
+                                           sh_coeffs)
+
+        for _ in range(10):
+            state, img = frame(state)
+        img = np.asarray(img)
+        assert np.isfinite(img).all(), "non-finite sharded frame"
+
+        # Cross-check vs the replicated fast pipeline on the same state
+        # (the dryrun's equality certificate, now on hardware with the
+        # production kernels).
+        from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
+        from fluidx12_tpu.render.resolve import resolve_cube
+        from fluidx12_tpu.render.slicecomp import ray_march_cube_fast
+
+        grid = jax.device_put(np.asarray(state.color))
+        lm = render_light_map_fast(grid, params, cfg, sh_coeffs)
+        cube = ray_march_cube_fast(grid, params, cfg, lm)
+        ref = np.asarray(resolve_cube(cube, params, cfg))
+        d = float(np.abs(img - ref).max())
+        ok = d <= 2e-2  # quantized cube levels + bf16 reassociation
+        print(f"# {name}: max diff vs replicated {d:.4f} "
+              f"-> {'OK' if ok else 'MISMATCH'}", file=sys.stderr)
+        return {"name": name, "ok": bool(ok),
+                "max_diff_vs_replicated": round(d, 5),
+                "pallas_gates": {
+                    "use_pallas": bool(cfg.use_pallas),
+                    "gi_ambient_stencil": bool(
+                        stencil_pallas_supported(cfg.zyx)),
+                }}
+    except Exception as e:
+        print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+        return {"name": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
 def run_faithful_frame_check():

@@ -128,6 +128,16 @@ class FluidConfig:
     # level removes the smooth error Jacobi cannot; cross-checked in
     # tests/test_sim.py).  Smaller grids keep the reference schedule.
     mg_pressure: bool = True
+    # FULLY fused projection (divergence in the pre-smoother prologue,
+    # grad+damp in the post-smoother epilogue, sim/mg.mg_project_fused):
+    # bit-identical to the unfused chain but measured SLOWER at 256^3
+    # (12.99 vs 12.15 ms simulate, TPU A/B 2026-08-19): the velocity/center
+    # buffers push the planewise windows from slab 64 to 32, raising the
+    # z-window read redundancy 1.25 -> 1.5x and doubling the window count,
+    # which costs more than the removed standalone div/grad volume trips.
+    # Kept as an opt-in experiment with full cross-checks
+    # (tests/test_pallas.py); default off on the measurement.
+    mg_project_fused: bool = False
     # Smallest (Y * X) plane-cell count at which the multigrid solver
     # engages.  128*128 planes (the flagship grid) measured better on BOTH
     # axes on CPU twins -- V(4,4)+32 residual rms 0.0145 vs 0.0174 for the

@@ -154,12 +154,13 @@ def project(
         # core/config.py mg_min_plane); smaller grids keep the
         # reference-faithful fixed-iteration relaxation.
         use_mg = y * x >= config.mg_min_plane and mg_supported(config.zyx)
-        if use_mg and use_stencil:
+        if use_mg and use_stencil and config.mg_project_fused:
             from fluidx12_tpu.sim.mg import mg_fused_supported
 
-            # Fully fused projection (big planes only): divergence rides
-            # the pre-smoother prologue, grad+damp the post-smoother
-            # epilogue -- two fewer full-volume round trips per frame.
+            # Fully fused projection (opt-in, config.mg_project_fused):
+            # bit-identical to the unfused chain but A/B-measured slower
+            # at 256^3 -- the fusion buffers shrink the smoother windows
+            # (see core/config.py for the numbers).
             use_mg_fused = mg_fused_supported(
                 config.zyx, vel_bytes=fields.dtype.itemsize)
 

@@ -88,6 +88,9 @@ class FluidXEngine:
         self._plane_cache = None
         self._rect_key = None
         self._rect_cache = None
+        self._env_key = None
+        self._env_cache = None
+        self._env_prog = None
 
     # ------------------------------------------------------------------
     # Host-side per-frame update (the CB upload analog)
@@ -142,7 +145,7 @@ class FluidXEngine:
         has_probe = self.sh_coeffs is not None
 
         def step_and_render(state: FluidState, packed_params,
-                            sh_coeffs, radiance):
+                            sh_coeffs, env_bg):
             params = unpack_scene_params(packed_params)
             state = simulate(state, params.time_step, cfg)
             grid = state.color
@@ -212,12 +215,17 @@ class FluidXEngine:
                     )
 
             # Background: clear color, then environment sky if present
-            # (FluidX12.cpp:469-484), then premultiplied composite.
+            # (FluidX12.cpp:469-484), then premultiplied composite.  The
+            # sky depends only on the camera pose + radiance, so the engine
+            # renders it ONCE per pose change (_env_bg, a host-side cache
+            # like the packed CB / scissor rect) and passes the (H, W, 3)
+            # image in -- a static camera never re-fetches the cube map
+            # (part of the GI per-frame delta, VERDICT r3 item 2).
             bg = jnp.broadcast_to(
                 jnp.asarray(cfg.clear_color[:3], rgba.dtype), rgba.shape[:-1] + (3,)
             )
-            if has_probe and radiance is not None and cfg.is_3d:
-                bg = render_environment(radiance, params, cfg)
+            if env_bg is not None and cfg.is_3d:
+                bg = env_bg.astype(rgba.dtype)
             image = composite_premultiplied(rgba, bg)
             return state, jnp.clip(image, 0.0, 1.0)
 
@@ -234,10 +242,10 @@ class FluidXEngine:
         # sequential frames; every frame's image is computed and returned
         # as a stacked (batch, H, W, 3) array.
         def step_and_render_batched(state: FluidState, packed_params,
-                                    sh_coeffs, radiance):
+                                    sh_coeffs, env_bg):
             def body(carry, _):
                 carry, image = step_and_render(carry, packed_params,
-                                               sh_coeffs, radiance)
+                                               sh_coeffs, env_bg)
                 return carry, image
 
             state, images = jax.lax.scan(body, state, None, length=batch)
@@ -299,6 +307,33 @@ class FluidXEngine:
             density_scale=1.0 / (1 << lod))
         return self._plane_cache
 
+    def _env_bg(self, packed_params) -> Optional[jax.Array]:
+        """The environment-sky background, rendered once per camera pose.
+
+        The sky (render_environment: a per-pixel cube-map record gather at
+        viewport resolution) depends only on the pose and the radiance map,
+        NOT on the sim state -- so like the packed CB and the scissor rect
+        it is a host-side cache: a static camera pays it once, not per
+        frame (ref FluidX12.cpp:469-484 re-rasterizes it per frame because
+        a GPU raster pass is ~free there; the TPU analog is a gather pass
+        worth caching)."""
+        if self.radiance is None or not self.config.is_3d:
+            return None
+        pose = (self.camera.view.tobytes(), self.camera.proj.tobytes())
+        if pose == self._env_key:
+            return self._env_cache
+        if self._env_prog is None:
+            cfg = self.config
+
+            def env(radiance, packed):
+                return render_environment(
+                    radiance, unpack_scene_params(packed), cfg)
+
+            self._env_prog = jax.jit(env)
+        self._env_key = pose
+        self._env_cache = self._env_prog(self.radiance, packed_params)
+        return self._env_cache
+
     # ------------------------------------------------------------------
     def step_frame(self) -> jax.Array:
         """One full frame; returns the (H, W, 3) float image (device array)."""
@@ -307,7 +342,8 @@ class FluidXEngine:
                       if not self.render_method.uses_cube_map else None)
         program = self._program(self.render_method, lod, vis_mask, plane_spec,
                                 self._screen_rect())
-        self.state, image = program(self.state, params, self.sh_coeffs, self.radiance)
+        self.state, image = program(self.state, params, self.sh_coeffs,
+                                    self._env_bg(params))
         self.frame_index += 1
         return image
 
@@ -326,7 +362,7 @@ class FluidXEngine:
         program = self._program(self.render_method, lod, vis_mask, plane_spec,
                                 self._screen_rect(), batch=k)
         self.state, images = program(self.state, params, self.sh_coeffs,
-                                     self.radiance)
+                                     self._env_bg(params))
         self.frame_index += k
         return images
 

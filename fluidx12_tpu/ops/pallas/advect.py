@@ -333,7 +333,7 @@ def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
 
 
 def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
-                          acc_ref, dx_ref, dy_ref):
+                          acc_ref, dx_ref, dy_ref, wx_ref, wy_ref):
     """Both lateral passes (x then y) in ONE kernel visit per channel block.
 
     The two-pass form streams the full 7-channel volume through HBM twice
@@ -350,11 +350,25 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
     channel-innermost grid steps (same persistence contract as
     _pass_kernel_fused_d1's weight scratch).
 
-    VMEM shape: the calm 6-tap resample runs in the main body; the heavy
-    tier ADDS the 20 outer taps under pl.when (branch stacks add their
-    high-water marks, so the heavy branches hold 20 -- not 26 -- live tap
-    temporaries each).  The outer taps join the accumulator after the calm
-    partial sum, so heavy-tier sums associate (calm taps) + (outer taps)
+    This kernel is VPU-tap-bound, not HBM-bound (measured at 256^3: the
+    lateral floor is ~0.6 ms while the pass costs several), so two tap
+    optimizations carry it:
+
+    - CALM-TIER WEIGHT CACHING: tap weights depend only on the (channel-
+      free) displacement; the ci == 0 step writes the 6 calm-tier weight
+      planes per axis into scratch, and channels 1..6 skip the 4-op weight
+      recomputation per tap (~45%% of the calm tap work, and calm planes
+      are ~90%% of a developed 256^3 volume).
+    - THREE TIERS (2 / 6 / 12 voxels): steady-state displacement stats
+      (CLAUDE.md round-4) show x/z never exceed ~3 and y rarely exceeds 6,
+      so the mid tier (14 taps) replaces the full 26 on most non-calm
+      planes.  Bit-identical output in every tier: taps outside a tier's
+      clamped displacement range carry exactly zero weight.
+
+    VMEM shape: the calm 6-tap resample runs in the main body; the mid/
+    heavy tiers ADD 8 / 12 outer taps under pl.when (branch stacks add
+    their high-water marks).  The outer taps join the accumulator after
+    the calm partial sum, so tiered sums associate (calm) + (mid) + (heavy)
     rather than strictly left-to-right -- within f32 rounding of the
     two-pass form (the cross-check tolerance already covers XLA-vs-Mosaic
     reassociation).
@@ -369,10 +383,13 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
         dx = jnp.clip(-dsrc_ref[0].astype(f32) * sx_ref[0],
                       -float(MAX_DISP), float(MAX_DISP))
         ids = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 2).astype(f32)
-        dx_ref[...] = _clamp_disp_inbounds(dx, ids, nx)
+        dx = _clamp_disp_inbounds(dx, ids, nx)
+        dx_ref[...] = dx
+        for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
+            wx_ref[t] = jnp.maximum(1.0 - jnp.abs(dx - float(a)), 0.0)
 
     dx = dx_ref[...]
-    calm_x = jnp.max(jnp.abs(dx)) <= float(_CALM_DISP)
+    mx = jnp.max(jnp.abs(dx))
     qf = q.astype(f32)  # rolls lower via tpu.dynamic_rotate: 32-bit only
 
     def taps(src, d, axis, lo, hi):
@@ -383,13 +400,26 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
             out = out + pltpu.roll(src, (n - a) % n, axis) * w
         return out
 
-    acc_ref[...] = taps(qf, dx, 2, -_CALM_DISP, _CALM_DISP + 1)
+    def taps_cached(src, w_ref, axis):
+        n = src.shape[axis]
+        out = jnp.zeros_like(src)
+        for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
+            out = out + pltpu.roll(src, (n - a) % n, axis) * w_ref[t]
+        return out
 
-    @pl.when(jnp.logical_not(calm_x))
+    acc_ref[...] = taps_cached(qf, wx_ref, 2)
+
+    @pl.when(mx > float(_CALM_DISP))
     def _():
         acc_ref[...] = (acc_ref[...]
-                        + taps(qf, dx, 2, -MAX_DISP, -_CALM_DISP - 1)
-                        + taps(qf, dx, 2, _CALM_DISP + 2, MAX_DISP + 1))
+                        + taps(qf, dx, 2, -_MID_DISP, -_CALM_DISP - 1)
+                        + taps(qf, dx, 2, _CALM_DISP + 2, _MID_DISP + 1))
+
+    @pl.when(mx > float(_MID_DISP))
+    def _():
+        acc_ref[...] = (acc_ref[...]
+                        + taps(qf, dx, 2, -MAX_DISP, -_MID_DISP - 1)
+                        + taps(qf, dx, 2, _MID_DISP + 2, MAX_DISP + 1))
 
     # Quantize through the storage dtype: the two-pass path's intermediate
     # lives in HBM at storage precision, and the y displacement below must
@@ -401,18 +431,27 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
         # vol block at step 0 IS channel 1 (u_y), already x-advected above.
         dy = jnp.clip(-txq * sy_ref[0], -float(MAX_DISP), float(MAX_DISP))
         ids = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1).astype(f32)
-        dy_ref[...] = _clamp_disp_inbounds(dy, ids, ny)
+        dy = _clamp_disp_inbounds(dy, ids, ny)
+        dy_ref[...] = dy
+        for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
+            wy_ref[t] = jnp.maximum(1.0 - jnp.abs(dy - float(a)), 0.0)
 
     dy = dy_ref[...]
-    calm_y = jnp.max(jnp.abs(dy)) <= float(_CALM_DISP)
+    my = jnp.max(jnp.abs(dy))
 
-    acc_ref[...] = taps(txq, dy, 1, -_CALM_DISP, _CALM_DISP + 1)
+    acc_ref[...] = taps_cached(txq, wy_ref, 1)
 
-    @pl.when(jnp.logical_not(calm_y))
+    @pl.when(my > float(_CALM_DISP))
     def _():
         acc_ref[...] = (acc_ref[...]
-                        + taps(txq, dy, 1, -MAX_DISP, -_CALM_DISP - 1)
-                        + taps(txq, dy, 1, _CALM_DISP + 2, MAX_DISP + 1))
+                        + taps(txq, dy, 1, -_MID_DISP, -_CALM_DISP - 1)
+                        + taps(txq, dy, 1, _CALM_DISP + 2, _MID_DISP + 1))
+
+    @pl.when(my > float(_MID_DISP))
+    def _():
+        acc_ref[...] = (acc_ref[...]
+                        + taps(txq, dy, 1, -MAX_DISP, -_MID_DISP - 1)
+                        + taps(txq, dy, 1, _MID_DISP + 2, MAX_DISP + 1))
 
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
@@ -469,6 +508,10 @@ def _run_pass_fused_xy(vol: jax.Array, interpret: bool,
             pltpu.VMEM((slab, ny, nx), jnp.float32),   # acc
             pltpu.VMEM((slab, ny, nx), jnp.float32),   # dx
             pltpu.VMEM((slab, ny, nx), jnp.float32),   # dy
+            # Calm-tier tap weights, cached across the channel-innermost
+            # grid steps (computed once at ci == 0 per z step).
+            pltpu.VMEM((2 * _CALM_DISP + 2, slab, ny, nx), jnp.float32),
+            pltpu.VMEM((2 * _CALM_DISP + 2, slab, ny, nx), jnp.float32),
         ],
         interpret=interpret,
     )(vol, vol, sx, sy)
@@ -555,30 +598,46 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref, out_ref,
     win_ref[pl.ds(_ZHALO, slab)] = cur_ref[0].astype(f32)
     win_ref[pl.ds(_ZHALO + slab, _ZHALO)] = next_ref[0, :_ZHALO].astype(f32)
 
-    d = jnp.clip(-uz_ref[0].astype(f32) * scale_ref[0],
-                 -float(MAX_DISP), float(MAX_DISP))
-    ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + z0  # global z
-    d = _clamp_disp_inbounds(d, ids.astype(f32), nz)
-    # Dynamic-bounds fori over exactly the taps this block needs (z taps
-    # are WINDOW SLICES: leading-dim dynamic starts are address math, not
-    # lane shuffles, so unlike the lateral passes there is no static-shift
-    # advantage to chase).  Single un-branched path: pl.when tiers do not
-    # share scoped-VMEM stack space, so branching multiplies the
-    # high-water mark for no win here.
-    lo = jnp.floor(jnp.min(d)).astype(jnp.int32)
-    hi = jnp.floor(jnp.max(d)).astype(jnp.int32) + 1
+    # Dynamic-bounds fori over exactly the taps each CHUNK of z-planes
+    # needs (z taps are WINDOW SLICES: leading-dim dynamic starts are
+    # address math, not lane shuffles, so unlike the lateral passes there
+    # is no static-shift advantage to chase).  Bounds are per 8-plane
+    # chunk, not per block: with slab-tall blocks a single fast region
+    # anywhere in the slab would force its tap span on ALL planes
+    # (measured 4.66 ms/visit at 256^3 with block-level bounds), while the
+    # flow's z-extent per 8 planes is tiny almost everywhere.  The chunk's
+    # displacement derives from a per-chunk ref read (a value-level
+    # dynamic_slice does not lower in Mosaic).  Single un-branched path:
+    # pl.when tiers do not share scoped-VMEM stack space, so branching
+    # multiplies the high-water mark for no win here.
+    zchunk = 8
+    n_ch = slab // zchunk
 
-    def tap(a, out):
-        w = jnp.maximum(1.0 - jnp.abs(d - a.astype(f32)), 0.0)
-        return out + win_ref[pl.ds(_ZHALO + a, slab)] * w
+    def chunk_body(ci, _):
+        zc = ci * zchunk
+        uzc = uz_ref[0, pl.ds(zc, zchunk)].astype(f32)
+        dch = jnp.clip(-uzc * scale_ref[0],
+                       -float(MAX_DISP), float(MAX_DISP))
+        ids = (jax.lax.broadcasted_iota(jnp.int32, dch.shape, 0)
+               + z0 + zc)  # global z of this chunk's planes
+        dch = _clamp_disp_inbounds(dch, ids.astype(f32), nz)
+        lo = jnp.floor(jnp.min(dch)).astype(jnp.int32)
+        hi = jnp.floor(jnp.max(dch)).astype(jnp.int32) + 1
 
-    out = jax.lax.fori_loop(lo, hi + 1, tap, jnp.zeros_like(d))
-    # An epilogue writes out_ref itself (it may branch with pl.when, which
-    # cannot return values); the plain path stores directly.
-    if epilogue is not None:
-        epilogue(out, ids)
-    else:
-        out_ref[0] = out.astype(out_ref.dtype)
+        def tap(a, out):
+            w = jnp.maximum(1.0 - jnp.abs(dch - a.astype(f32)), 0.0)
+            return out + win_ref[pl.ds(_ZHALO + zc + a, zchunk)] * w
+
+        out = jax.lax.fori_loop(lo, hi + 1, tap, jnp.zeros_like(dch))
+        # An epilogue writes out_ref itself (it may branch with pl.when,
+        # which cannot return values); the plain path stores directly.
+        if epilogue is not None:
+            epilogue(out, ids, zc)
+        else:
+            out_ref[0, pl.ds(zc, zchunk)] = out.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_ch, chunk_body, 0)
 
 
 def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref,
@@ -614,7 +673,9 @@ def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref,
     dyb = jnp.clip(ip_y, y_lo, y_hi) - ip_y
     hit = dzb * dzb + dyb * dyb <= radius * radius
 
-    def epilogue(out, gz_ids):
+    def epilogue(out, gz_ids, zc):
+        # Per-chunk form (see _zpass_kernel's chunk loop): `out` holds
+        # `zchunk` resampled planes, written to out_ref at offset zc.
         dt = dt_ref[0]
         atten = jnp.maximum(1.0 - dissipation * dt, 0.0)
 
@@ -636,13 +697,15 @@ def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref,
                    + fc_ref[ci, 2] * dx_)
             forced = jnp.clip(out + in_imp * ext * dt,
                               fc_ref[ci, 3], fc_ref[ci, 4])
-            out_ref[0] = (forced * atten).astype(out_ref.dtype)
+            out_ref[0, pl.ds(zc, out.shape[0])] = (
+                forced * atten).astype(out_ref.dtype)
 
         @pl.when(jnp.logical_not(hit))
         def _():
             # No impulse reach: clip (exact same saturation point) + decay.
             clipped = jnp.clip(out, fc_ref[ci, 3], fc_ref[ci, 4])
-            out_ref[0] = (clipped * atten).astype(out_ref.dtype)
+            out_ref[0, pl.ds(zc, out.shape[0])] = (
+                clipped * atten).astype(out_ref.dtype)
 
     _zpass_body(prev_ref, cur_ref, next_ref, uz_ref, scale_ref, out_ref,
                 win_ref, slab=slab, nz=nz, epilogue=epilogue)
@@ -662,13 +725,18 @@ def _zpass_plan(nz: int, ny: int, nx: int, slab_max: int = 128):
     # Taller slabs cut the halo-block read redundancy ((slab + 2*_ZHBLK) /
     # slab: 1.5 at slab 64 -> 1.25 at 128); the y tile shrinks to keep the
     # block inside the budget, and the slab halves if even ytile=8 cannot.
+    # 512K-element budget (f32 window ~2.6 MB): the z kernel's taps are
+    # window SLICES with no per-tap liveness, so unlike the lateral
+    # kernels its VMEM need is just the window + a chunk accumulator --
+    # wider y tiles halve the block count (DMA pipelining) for free.
+    budget = 512 * 1024
     slab = slab_max
     while slab > 1 and nz % slab:
         slab //= 2
     ytile = 32
-    while ytile > 8 and (ny % ytile or slab * ytile * nx > 256 * 1024):
+    while ytile > 8 and (ny % ytile or slab * ytile * nx > budget):
         ytile //= 2
-    while slab > _ZHBLK and slab * ytile * nx > 256 * 1024:
+    while slab > _ZHBLK and slab * ytile * nx > budget:
         slab //= 2
     if nz % slab or ny % ytile or slab < _ZHBLK or slab % _ZHBLK:
         return None

@@ -54,7 +54,7 @@ from fluidx12_tpu.ops.transform import transform_vector
 from fluidx12_tpu.parallel.mesh import Z_AXIS
 from fluidx12_tpu.render.raymarch_core import MAX_DIST
 from fluidx12_tpu.render.lightmap_sweep import (
-    _ao_half_res,
+    _ao_levels,
     _lat_pooled_ok,
     _pool2_lat,
     _pool_mats,
@@ -108,16 +108,15 @@ def sharded_light_supported(config: FluidConfig, n_dev: int) -> bool:
         if _lat_pooled_ok((zg, y, x), arr_axis):
             ok = ok and (arr_axis == 0 or zl % 2 == 0)
     if config.has_light_probe:
-        # The AO resolution choice must MATCH the replicated one: half-res
-        # needs even local z for the shard-local 2x restriction, and a
-        # grid where the replicated path halves but a shard cannot would
-        # silently diverge (not just run slower).
-        if _ao_half_res((zg, y, x)) and not (zl % 2 == 0 and zl >= 2):
+        # The AO resolution choice must MATCH the replicated one
+        # (lightmap_sweep._ao_levels: 0 / half / quarter): each 2x level
+        # needs the local z divisible for the shard-local restriction, and
+        # a grid where the replicated path downsamples but a shard cannot
+        # would silently diverge (not just run slower).
+        lv = _ao_levels((zg, y, x))
+        if lv and not (zl % (1 << lv) == 0 and zl >= (1 << lv)):
             return False
-        half = (zl % 2 == 0 and zl >= 2
-                and all(v % 2 == 0 and v >= 32 for v in (zg, y, x)))
-        hz, hzl = (zg // 2, zl // 2) if half else (zg, zl)
-        ok = ok and _axis_ok(hz, hzl, True, n_dev, 64)
+        ok = ok and _axis_ok(zg >> lv, zl >> lv, True, n_dev, 64)
     return ok
 
 
@@ -340,20 +339,26 @@ _AXIS_SWEEPS = [(0, +1), (0, -1), (1, +1), (1, -1), (2, +1), (2, -1)]
 def _sharded_ambient_occlusion(density, nx_, ny_, nz_, ref_step,
                                config: FluidConfig):
     """Sharded twin of lightmap_sweep._ambient_occlusion: 6 axis-aligned
-    sweeps blended by the gradient direction, at half resolution when the
-    local slab allows (zl even and all dims >= 32 globally)."""
+    sweeps blended by the gradient direction, downsampled 2x per
+    _ao_levels level when the local slab allows (the gate in
+    sharded_light_supported guarantees the choice matches the replicated
+    path)."""
     n = jax.lax.axis_size(Z_AXIS)
     idx = jax.lax.axis_index(Z_AXIS)
     dtype = density.dtype
     zl, y, x = density.shape
     zg = zl * n
-    half = (zl % 2 == 0 and zl >= 2
-            and all(v % 2 == 0 and v >= 32 for v in (zg, y, x)))
-    if half:
-        dens_s = _sharded_restrict(density.astype(jnp.float32)).astype(dtype)
+    levels = _ao_levels((zg, y, x))
+    if levels and not (zl % (1 << levels) == 0 and zl >= (1 << levels)):
+        levels = 0  # unshardable locally; gate rejects this combination
+    if levels:
+        dens_s = density.astype(jnp.float32)
+        for _ in range(levels):
+            dens_s = _sharded_restrict(dens_s)
+        dens_s = dens_s.astype(dtype)
         gz, gy, gx = _sharded_gradient(dens_s)
         cx, cy, cz = fallback_normal_dirs(
-            gx, gy, gz, dtype, z0=idx * (zl // 2), zg=zg // 2)
+            gx, gy, gz, dtype, z0=idx * (zl >> levels), zg=zg >> levels)
     else:
         dens_s = density
         cx, cy, cz = nx_, ny_, nz_
@@ -369,8 +374,11 @@ def _sharded_ambient_occlusion(density, nx_, ny_, nz_, ref_step,
             jnp.maximum(cz, 0.0), jnp.maximum(-cz, 0.0)]
     total = jnp.maximum(sum(comp), 1e-8)
     ao = sum(s * c for s, c in zip(sweeps, comp)) / total
-    if half:
-        ao = _sharded_prolong(ao.astype(jnp.float32)).astype(dtype)
+    if levels:
+        ao = ao.astype(jnp.float32)
+        for _ in range(levels):
+            ao = _sharded_prolong(ao)
+        ao = ao.astype(dtype)
     return ao
 
 

@@ -623,21 +623,42 @@ def _ao_half_res(shape) -> bool:
     return all(n % 2 == 0 and n >= 32 for n in shape)
 
 
-def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config):
+def _ao_levels(shape) -> int:
+    """Box-downsample levels for the AO sweeps: 2 (quarter res) on big
+    grids, 1 (half res) on medium ones, 0 otherwise.  Occlusion is an
+    integral, low-frequency quantity; at 256^3 the six sweeps are the
+    dominant GI cost, and a second 2x level cuts them a further ~8x for a
+    visually negligible change (bounded in tests/test_render.py).  The
+    sharded gate (parallel/light.sharded_light_supported) requires the
+    shard-local choice to MATCH this one."""
+    if all(n % 4 == 0 and n >= 256 for n in shape):
+        return 2
+    if _ao_half_res(shape):
+        return 1
+    return 0
+
+
+def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config,
+                       levels: Optional[int] = None):
     """6-sweep AO blended by the (unnormalized) gradient direction.
 
-    Runs at HALF resolution when the grid allows: occlusion is an integral,
-    low-frequency quantity, and the six directional sweeps are the dominant
-    GI cost (6x the shadow sweep).  A 2x box-down + trilinear-up cuts them
-    ~8x; the blend weights also come from the half-res gradient.  Falls back
-    to full resolution on odd/small grids.
+    Runs at HALF or QUARTER resolution when the grid allows (_ao_levels):
+    occlusion is an integral, low-frequency quantity, and the six
+    directional sweeps are the dominant GI cost (6x the shadow sweep).
+    Each 2x box-down + trilinear-up level cuts them ~8x; the blend weights
+    also come from the downsampled gradient.  Falls back to full resolution
+    on odd/small grids.  `levels` overrides the automatic choice (tests
+    bound the quarter-vs-half error with it).
     """
     dtype = density.dtype
-    half = _ao_half_res(density.shape)
-    if half:
+    levels = _ao_levels(density.shape) if levels is None else levels
+    if levels:
         from fluidx12_tpu.sim.mg import _prolong, _restrict
 
-        dens_s = _restrict(density.astype(jnp.float32)).astype(dtype)
+        dens_s = density.astype(jnp.float32)
+        for _ in range(levels):
+            dens_s = _restrict(dens_s)
+        dens_s = dens_s.astype(dtype)
         gz, gy, gx = _gradient(dens_s, config.use_pallas)
         cx, cy, cz = -gx, -gy, -gz
         # Degenerate-gradient radial fallback, exactly as at full res
@@ -669,6 +690,9 @@ def _ambient_occlusion(density, nx_, ny_, nz_, ref_step, config):
             jnp.maximum(cz, 0.0), jnp.maximum(-cz, 0.0)]
     total = jnp.maximum(sum(comp), 1e-8)
     ao = sum(s * c for s, c in zip(sweeps, comp)) / total
-    if half:
-        ao = _prolong(ao.astype(jnp.float32)).astype(dtype)
+    if levels:
+        ao = ao.astype(jnp.float32)
+        for _ in range(levels):
+            ao = _prolong(ao)
+        ao = ao.astype(dtype)
     return ao

@@ -407,3 +407,43 @@ def test_depth_aware_cube_resolve():
     cube_n, cube_depth_n = ray_march_cube(grid, params, cfg, light_map=lm,
                                           depth_map=near)
     assert np.asarray(cube_n)[..., 3].sum() < np.asarray(cube_plain)[..., 3].sum() - 1.0
+
+
+def test_ao_levels_gate_and_quarter_bound():
+    """Quarter-res AO on big grids (VERDICT r3 item 2): the gate picks
+    2 levels only at >= 256 per axis, and the quarter-res field stays
+    close to the half-res reference on a plume-like density (occlusion is
+    an integral, low-frequency quantity)."""
+    from fluidx12_tpu.render.lightmap_sweep import (
+        _ambient_occlusion, _ao_levels)
+    from fluidx12_tpu.render.raymarch_core import MAX_DIST
+
+    assert _ao_levels((256, 256, 256)) == 2
+    assert _ao_levels((128, 128, 128)) == 1
+    assert _ao_levels((150, 150, 150)) == 1  # FluidGI preset: half-res
+    assert _ao_levels((24, 24, 24)) == 0
+
+    n = 64
+    cfg = FluidConfig(grid_size=(n, n, n), has_light_probe=True)
+    ii = (np.arange(n, dtype=np.float32) + 0.5) / n
+    z, y, x = np.meshgrid(ii, ii, ii, indexing="ij")
+    d2 = (x - 0.5) ** 2 + (y - 0.35) ** 2 + (z - 0.5) ** 2
+    density = jnp.asarray(np.exp(-60.0 * d2).astype(np.float32))
+    ref_step = MAX_DIST / 8.0
+    ao_h = np.asarray(_ambient_occlusion(
+        density, None, None, None, ref_step, cfg, levels=1))
+    ao_q = np.asarray(_ambient_occlusion(
+        density, None, None, None, ref_step, cfg, levels=2))
+    err = np.abs(ao_q - ao_h)
+    assert err.mean() < 0.02 and err.max() < 0.3, (err.mean(), err.max())
+
+
+def test_sharded_ao_gate_matches_quarter_choice():
+    """The sharded light gate must reject layouts whose local slab cannot
+    reproduce the replicated AO resolution choice (here: quarter at 256^3
+    needs zl % 4 == 0)."""
+    from fluidx12_tpu.parallel.light import sharded_light_supported
+
+    cfg = FluidConfig(grid_size=(256, 256, 256), has_light_probe=True)
+    assert sharded_light_supported(cfg, 8)      # zl = 32: quarter-capable
+    assert not sharded_light_supported(cfg, 128)  # zl = 2: cannot quarter

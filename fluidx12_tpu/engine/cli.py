@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="check/recover sim state every N frames")
     p.add_argument("--metrics", type=str, default=None,
                    help="append JSON-lines frame metrics to this file")
+    p.add_argument("--preview", type=int, nargs="?", const=1, default=0,
+                   metavar="N",
+                   help="draw every Nth frame to the terminal as ANSI "
+                        "half-block art (the present analog of the "
+                        "reference's window, Win32Application.cpp:205-211; "
+                        "also the p hotkey with --interactive)")
     return p
 
 
@@ -118,7 +124,8 @@ def main(argv=None) -> int:
         engine.state = load_state(args.restore, expected_zyx=cfg.zyx)
 
     loop = FrameLoop(engine, show_fps=not args.no_fps,
-                     watchdog_every=args.watchdog, metrics_path=args.metrics)
+                     watchdog_every=args.watchdog, metrics_path=args.metrics,
+                     preview_every=args.preview)
 
     if args.profile:
         import jax

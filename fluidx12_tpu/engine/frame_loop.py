@@ -83,21 +83,30 @@ class FrameLoop:
     CFL_WARN_FRACTION = 0.75
 
     def __init__(self, engine: FluidXEngine, show_fps: bool = True,
-                 watchdog_every: int = 0, metrics_path: Optional[str] = None):
+                 watchdog_every: int = 0, metrics_path: Optional[str] = None,
+                 preview_every: int = 0):
         """watchdog_every > 0 enables a divergence watchdog: every N frames
         the state is checked for NaN/Inf and reset if corrupted (failure
         detection + elastic recovery; the reference has neither, SURVEY.md
-        section 5.3).  metrics_path appends JSON-lines frame metrics."""
+        section 5.3).  metrics_path appends JSON-lines frame metrics.
+
+        preview_every > 0 draws every Nth frame to the terminal as ANSI
+        half-block art (utils/termview.py) -- the live-display analog of
+        the reference's window present (Win32Application.cpp:205-211).
+        Each drawn frame costs one device->host fetch, so N > 1 keeps the
+        device pipeline busy between draws."""
         self.engine = engine
         self.show_fps = show_fps
         self.watchdog_every = watchdog_every
         self.metrics_path = metrics_path
+        self.preview_every = preview_every
         self.recoveries = 0
         self.cfl_warnings = 0
         self._in_flight = collections.deque()
         self._fps_window_start = time.perf_counter()
         self._fps_frame_count = 0
         self.last_fps: Optional[float] = None
+        self._preview_active = False
 
     def run(self, num_frames: int, screenshot_path: Optional[str] = None,
             screenshot_every: Optional[int] = None,
@@ -114,11 +123,14 @@ class FrameLoop:
         runs ignore it so hotkeys keep per-frame granularity."""
         keys = _KeyPoller() if interactive else None
         try:
+            if self.preview_every > 0:
+                self._preview_enter()
             if batch > 1 and keys is None:
                 return self._run_batched(num_frames, screenshot_path,
                                          screenshot_every, batch)
             return self._run(num_frames, screenshot_path, screenshot_every, keys)
         finally:
+            self._preview_leave()
             if keys is not None:
                 keys.close()
 
@@ -143,6 +155,9 @@ class FrameLoop:
             if self.watchdog_every and (done // self.watchdog_every
                                         > prev // self.watchdog_every):
                 self._watchdog()
+            if self._preview_active and (done // self.preview_every
+                                         > prev // self.preview_every):
+                self._preview_draw(images[-1])
             last = images[-1]
         if last is not None:
             last.block_until_ready()
@@ -168,6 +183,8 @@ class FrameLoop:
             if screenshot_every and (i + 1) % screenshot_every == 0 and screenshot_path:
                 path = screenshot_path.format(frame=i + 1)
                 write_png(path, to_srgb_u8(np.asarray(image)))
+            if self._preview_active and (i + 1) % self.preview_every == 0:
+                self._preview_draw(image)
             last = image  # before the q-check, so quitting returns/saves
             # the frame that was just rendered, not its predecessor
             if keys is not None and self._handle_key(keys.poll(), image,
@@ -207,6 +224,13 @@ class FrameLoop:
             fast = eng.toggle_ez()
             print(f"[fluidx12-tpu] stack: {'fast' if fast else 'faithful'} "
                   f"(recompiling next frame)")
+        elif key == "p":
+            if self._preview_active:
+                self._preview_leave()
+            else:
+                if self.preview_every <= 0:
+                    self.preview_every = 1
+                self._preview_enter()
         elif key in ("a", "d", "w", "z", "+", "-"):
             # Camera interaction: the reference tracks the mouse
             # (OnLButtonDown/OnMouseMove -> orbit, OnMouseWheel -> dolly,
@@ -229,6 +253,46 @@ class FrameLoop:
         elif key == "q":
             return True
         return False
+
+    def _preview_enter(self):
+        import sys
+
+        from fluidx12_tpu.utils import termview
+
+        if not self._preview_active:
+            sys.stdout.write(termview.ENTER_ALT_SCREEN)
+            sys.stdout.flush()
+            self._preview_active = True
+
+    def _preview_leave(self):
+        import sys
+
+        from fluidx12_tpu.utils import termview
+
+        if self._preview_active:
+            sys.stdout.write(termview.LEAVE_ALT_SCREEN)
+            sys.stdout.flush()
+            self._preview_active = False
+
+    def _preview_draw(self, image):
+        """Present one frame as half-block art + a one-line HUD."""
+        import os
+        import sys
+
+        from fluidx12_tpu.utils import termview
+
+        try:
+            cols, rows = os.get_terminal_size()
+        except OSError:
+            cols, rows = 80, 41
+        art = termview.render_halfblocks(
+            to_srgb_u8(np.asarray(image)), max_cols=max(cols, 16),
+            max_rows=max(rows - 1, 8))
+        fps = f"{self.last_fps:6.1f} fps" if self.last_fps else "   ...    "
+        hud = (f"[fluidx12-tpu] {fps}  {self.engine.render_method.name}  "
+               f"frame {self.engine.frame_index}  (p preview off, q quit)")
+        sys.stdout.write(termview.CURSOR_HOME + art + "\n\x1b[K" + hud)
+        sys.stdout.flush()
 
     def _watchdog(self):
         """Detect and recover from numerical divergence of the sim state."""
@@ -283,7 +347,9 @@ class FrameLoop:
         elapsed = now - self._fps_window_start
         if elapsed >= 1.0:
             self.last_fps = self._fps_frame_count / elapsed
-            if self.show_fps:
+            # With the preview active the HUD line carries the FPS; plain
+            # prints would scroll the alt-screen drawing away.
+            if self.show_fps and not self._preview_active:
                 method = self.engine.render_method.name
                 print(f"[fluidx12-tpu] {self.last_fps:7.1f} fps    {method}")
             self._fps_window_start = now

@@ -323,3 +323,43 @@ def test_scan_batched_frames_match_sequential(tmp_path):
     assert img.shape == (24, 24, 3)
     assert loop_engine.frame_index == 6
     assert (tmp_path / "f3.png").exists() and (tmp_path / "f6.png").exists()
+
+
+def test_termview_halfblocks():
+    """Half-block preview: exact fg/bg colors, glyph count, aspect fit."""
+    from fluidx12_tpu.utils.termview import render_halfblocks
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0] = (255, 0, 0)   # top row red -> foreground
+    img[1] = (0, 0, 255)   # bottom row blue -> background
+    s = render_halfblocks(img)
+    assert s.count("\n") == 0 and s.count("▀") == 2
+    assert "\x1b[38;2;255;0;0m" in s and "\x1b[48;2;0;0;255m" in s
+    # Identical adjacent cells share one escape (run-length encoding).
+    assert s.count("\x1b[38;2") == 1
+    assert s.endswith("\x1b[0m")
+
+    # A 100x100 frame in an 80x40 cell budget: <= 80 cols, <= 40 rows,
+    # square pixels (rows2 ~ cols under the 1:2 cell geometry).
+    big = np.full((100, 100, 3), 128, np.uint8)
+    lines = render_halfblocks(big, max_cols=80, max_rows=40).split("\n")
+    assert len(lines) <= 40
+    assert max(l.count("▀") for l in lines) <= 80
+
+
+def test_frame_loop_preview_draws(capsys):
+    """preview_every drives the terminal present path end-to-end (alt
+    screen entered/left, half-block art + HUD emitted) on a tiny engine."""
+    from fluidx12_tpu.utils import termview
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(16, 16),
+                      num_pressure_iters=4, max_ray_samples=8,
+                      max_light_samples=4)
+    engine = FluidXEngine(cfg)
+    loop = FrameLoop(engine, show_fps=False, preview_every=2)
+    out = loop.run(4)
+    assert out is not None
+    cap = capsys.readouterr().out
+    assert termview.ENTER_ALT_SCREEN in cap
+    assert termview.LEAVE_ALT_SCREEN in cap
+    assert cap.count("▀") > 0 and "frame" in cap

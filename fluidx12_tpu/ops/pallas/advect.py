@@ -276,6 +276,13 @@ def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
     caller falls back to the precomputed-displacement / XLA forms)."""
     c, z, a, b = vol.shape
     lat, res, gran = (a, b, 8) if axis == 3 else (b, a, 128)
+    # Roll-clean resampled dim on hardware, exactly as fused_xy_supported
+    # requires: a non-multiple pads in VMEM (lanes to 128, sublanes to 8 --
+    # 150 lanes pad 1.7x), which silently multiplies every live tap
+    # temporary and blew the 16 MB scoped-VMEM stack at 150^3 (the FluidGI
+    # preset; caught by the bench suite row).  Odd grids ride the XLA twin.
+    if not interpret and res % (128 if axis == 3 else 8):
+        return None
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
 
     tiles = _pick_tiles(z, lat, res * c, gran, _CBLOCK_BUDGET_ELEMS)
@@ -359,11 +366,12 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
       planes per axis into scratch, and channels 1..6 skip the 4-op weight
       recomputation per tap (~45%% of the calm tap work, and calm planes
       are ~90%% of a developed 256^3 volume).
-    - THREE TIERS (2 / 6 / 12 voxels): steady-state displacement stats
+    - FOUR TIERS (1 / 2 / 6 / 12 voxels): steady-state displacement stats
       (CLAUDE.md round-4) show x/z never exceed ~3 and y rarely exceeds 6,
       so the mid tier (14 taps) replaces the full 26 on most non-calm
-      planes.  Bit-identical output in every tier: taps outside a tier's
-      clamped displacement range carry exactly zero weight.
+      planes, and a very-calm 4-tap base carries the majority of planes
+      (max|d| <= 1).  Bit-identical output in every tier: taps outside a
+      tier's clamped displacement range carry exactly zero weight.
 
     VMEM shape: the calm 6-tap resample runs in the main body; the mid/
     heavy tiers ADD 8 / 12 outer taps under pl.when (branch stacks add
@@ -400,14 +408,28 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
             out = out + pltpu.roll(src, (n - a) % n, axis) * w
         return out
 
-    def taps_cached(src, w_ref, axis):
+    def taps_cached(src, w_ref, axis, t_lo, t_hi):
+        """Cached-weight taps for tap indices [t_lo, t_hi] (tap t samples
+        offset a = t - _CALM_DISP)."""
         n = src.shape[axis]
         out = jnp.zeros_like(src)
-        for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
+        for t in range(t_lo, t_hi + 1):
+            a = t - _CALM_DISP
             out = out + pltpu.roll(src, (n - a) % n, axis) * w_ref[t]
         return out
 
-    acc_ref[...] = taps_cached(qf, wx_ref, 2)
+    # Very-calm base tier: most developed planes have max|d| <= 1, where
+    # only the 4 taps a in [-1, 2] carry nonzero weight -- the outer calm
+    # taps (a = -2, 3) join under pl.when, same zero-weight exactness
+    # argument as the mid/heavy tiers.
+    acc_ref[...] = taps_cached(qf, wx_ref, 2, 1, 2 * _CALM_DISP)
+
+    @pl.when(mx > 1.0)
+    def _():
+        acc_ref[...] = (acc_ref[...]
+                        + taps_cached(qf, wx_ref, 2, 0, 0)
+                        + taps_cached(qf, wx_ref, 2,
+                                      2 * _CALM_DISP + 1, 2 * _CALM_DISP + 1))
 
     @pl.when(mx > float(_CALM_DISP))
     def _():
@@ -439,7 +461,14 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
     dy = dy_ref[...]
     my = jnp.max(jnp.abs(dy))
 
-    acc_ref[...] = taps_cached(txq, wy_ref, 1)
+    acc_ref[...] = taps_cached(txq, wy_ref, 1, 1, 2 * _CALM_DISP)
+
+    @pl.when(my > 1.0)
+    def _():
+        acc_ref[...] = (acc_ref[...]
+                        + taps_cached(txq, wy_ref, 1, 0, 0)
+                        + taps_cached(txq, wy_ref, 1,
+                                      2 * _CALM_DISP + 1, 2 * _CALM_DISP + 1))
 
     @pl.when(my > float(_CALM_DISP))
     def _():
@@ -523,6 +552,9 @@ def _run_pass(vol: jax.Array, disp: jax.Array, axis: int, interpret: bool):
     valid tiling exists (caller falls back to XLA)."""
     c, z, a, b = vol.shape
     lat, res, gran = (a, b, 8) if axis == 3 else (b, a, 128)
+    if not interpret and res % (128 if axis == 3 else 8):
+        return None  # non-roll-clean dim: padded tap temporaries (see
+        # _run_pass_fused); odd grids ride the XLA twin
     for c_blk in (c, 1) if c > 1 else (1,):
         budget = _CBLOCK_BUDGET_ELEMS if c_blk > 1 else _BLOCK_BUDGET_ELEMS
         tiles = _pick_tiles(z, lat, res * c_blk, gran, budget)

@@ -433,8 +433,13 @@ def run_pass_breakdown(n=256):
         lateral_trips = 2 + 1 / 7
     else:
         lateral_trips = 2 + 2  # separate x and y passes, r+w each
-    sim_b = (7 * vox * half * (lateral_trips + 2.5)  # + z (1.5x halo read)
-             + proj_b)
+    # EVERY substep streams the full state through the lateral + z passes
+    # (sim/advect_fast.py runs advect_substeps backtrace sub-steps; the
+    # splitting-error argument at its definition).  The floor charges the
+    # algorithm as configured -- 2 substeps = twice the advect bytes.
+    n_sub = max(int(getattr(cfg, "advect_substeps", 2)), 1)
+    sim_b = (7 * vox * half * n_sub * (lateral_trips + 2.5)  # z: 1.25x
+             + proj_b)                                       # halo + write
     light_b = vox * half + 3 * vox * half * 2
     slices = min(cfg.max_ray_samples, n)
     march_b = 4 * vox * half + 3 * (4 * slices * n * n * half * 3)
@@ -463,7 +468,9 @@ def run_pass_breakdown(n=256):
         ms = (time.perf_counter() - t0) / N * 1000
         delta = ms - prev
         floor_ms = mins[depth] / BW * 1000
-        pct = 100.0 * floor_ms / max(delta, 1e-6)
+        # Sub-floor deltas are measurement noise on a near-zero pass (the
+        # composite fuses into the resolve program); cap at 100.
+        pct = min(100.0 * floor_ms / max(delta, 1e-6), 100.0)
         print(f"#   {name:14s} {ms:8.2f} ms total, delta {delta:7.2f} ms, "
               f"HBM floor {floor_ms:6.2f} ms -> {pct:5.1f}% of roofline",
               file=sys.stderr)

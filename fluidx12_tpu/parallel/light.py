@@ -221,9 +221,12 @@ def sharded_directional_transmittance(
             flip=flip, max_slices=max_slices, axis_aligned=True)
 
     def sweep(dens_o, sizes, stride, k_ids, prefix_fn, n_s_global):
+        # use_pallas=False: the scan kernel derives k from program_id,
+        # which only matches the single-device k_ids = arange; the sharded
+        # sweep's shifted global indices keep the einsum form.
         return _sweep_pooled(
             dens_o, light_dir, major_axis, sizes, stride, ref_step,
-            absorption, k_ids=k_ids, prefix_fn=prefix_fn)
+            absorption, k_ids=k_ids, prefix_fn=prefix_fn, use_pallas=False)
 
     return _sharded_sweep(dens_local, major_axis, flip, max_slices, sweep)
 

@@ -66,6 +66,7 @@ def _sweep_pooled(
     absorption: float,
     k_ids: jax.Array,         # (m_l,) GLOBAL flipped slice indices (f32)
     prefix_fn=None,           # callable(slab_sum (W_a, W_b)) -> prefix
+    use_pallas: bool = True,
 ):
     """Shear -> exclusive-cumsum -> unshear on an already pooled slice-major
     block.  The single-device sweep passes k_ids = arange(n_s) and no
@@ -109,6 +110,24 @@ def _sweep_pooled(
     W_b = 2 * n_b
     pad_a = jnp.where(slope_a < 0, jnp.asarray(n_a, dtype), 0.0)
     pad_b = jnp.where(slope_b < 0, jnp.asarray(n_b, dtype), 0.0)
+
+    if use_pallas and prefix_fn is None:
+        # Streaming shear scan: the (m, W_a, W_b) sheared frame and the
+        # dense resample-weight tensors never exist in HBM, and the carry
+        # accumulates in f32 (ops/pallas/sweep.py).  The single-device
+        # sweep has k_ids = arange, which the kernel's program_id supplies;
+        # the sharded sweep (prefix_fn) keeps the einsum form.
+        from fluidx12_tpu.ops.pallas.sweep import (
+            shear_scan_pallas,
+            sweep_scan_supported,
+        )
+
+        m_l = dens_o.shape[0]
+        if (sweep_scan_supported(m_l, n_a, n_b)
+                and jax.default_backend() in ("tpu", "cpu")):
+            log_t = shear_scan_pallas(log_att, slope_a, slope_b,
+                                      pad_a, pad_b)
+            return jnp.exp(jnp.minimum(log_t, 0.0)).astype(dtype)
 
     k = k_ids.astype(dtype)
 
@@ -335,6 +354,7 @@ def directional_transmittance(
     flip: Optional[bool] = None,  # static sign of light_dir[major_axis], if known
     max_slices: int = 128,        # sweep slice budget (callers may lower it)
     axis_aligned: bool = False,   # static: light exactly along the major axis
+    use_pallas: bool = True,      # streaming shear-scan kernel when it fits
 ) -> jax.Array:
     """Per-voxel transmittance toward the light; returns (Z, Y, X).
 
@@ -389,7 +409,7 @@ def directional_transmittance(
     else:
         transm = _sweep_pooled(
             dens_o, light_dir, major_axis, sizes, stride, ref_step, absorption,
-            k_ids=jnp.arange(n_s, dtype=dtype))
+            k_ids=jnp.arange(n_s, dtype=dtype), use_pallas=use_pallas)
     if flip is not None:
         # Upsample (piecewise-constant within a pooled group -- the shadow
         # is an integral quantity; banding is sub-visual at these strides),
@@ -513,12 +533,13 @@ def render_light_map_fast(
             shadow = _unpool2_lat(
                 directional_transmittance(
                     _pool2_lat(density, arr_axis), light_dir, major_axis,
-                    ref_step, config.absorption, flip=flip),
+                    ref_step, config.absorption, flip=flip,
+                    use_pallas=config.use_pallas),
                 arr_axis)
         else:
             shadow = directional_transmittance(
                 density, light_dir, major_axis, ref_step, config.absorption,
-                flip=flip)
+                flip=flip, use_pallas=config.use_pallas)
 
     env3 = (params.light_color[:3] * params.light_color[3])[:, None, None, None]
     dense = density >= config.zero_threshold

@@ -526,3 +526,31 @@ def test_advect_fused_xy_slab1():
     step1 = _run_pass_fused(vol, axis=3, interpret=True, disp_ch=0, scale=0.9)
     step2 = _run_pass_fused(step1, axis=2, interpret=True, disp_ch=1, scale=0.6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(step2), atol=3e-5)
+
+
+def test_shear_scan_kernel_matches_einsum_sweep():
+    """Streaming shear-scan kernel vs the einsum shear/cumsum/unshear form
+    (2-tap-identical weights and zero lateral boundaries; only summation
+    precision differs).  Covers positive AND negative lateral slopes (the
+    sign-dependent pad) and fractional shifts."""
+    from fluidx12_tpu.render.lightmap_sweep import directional_transmittance
+
+    rng = np.random.default_rng(5)
+    # Global (Z, Y, X) = (16, 16, 128): major axis z -> pooled slices are
+    # (16, 16, 128) lateral planes, which pass the kernel's roll gate.
+    density = jnp.asarray(rng.uniform(0, 0.9, (16, 16, 128)).astype(np.float32))
+    ref_step = jnp.float32(2.0 / 64)
+    for ld in ((0.35, -0.45, 0.82), (-0.2, 0.3, -0.93)):
+        light = np.asarray(ld, np.float32)
+        light /= np.linalg.norm(light)
+        flip = bool(light[2] > 0)
+        fast = directional_transmittance(
+            density, jnp.asarray(light), 2, ref_step, 12.0, flip=flip,
+            use_pallas=True)
+        ref = directional_transmittance(
+            density, jnp.asarray(light), 2, ref_step, 12.0, flip=flip,
+            use_pallas=False)
+        # Summation order differs (f32 running carry vs MXU matmul +
+        # cumsum); transmittance in [0, 1] agrees to a few 1e-4.
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=5e-4)

@@ -400,22 +400,27 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
     mx = jnp.max(jnp.abs(dx))
     qf = q.astype(f32)  # rolls lower via tpu.dynamic_rotate: 32-bit only
 
+    # Both tap chains seed from the first product instead of a zeros
+    # accumulator (bit-identical: 0 + x is exact in f32) -- the kernel is
+    # VPU-op-bound, so the dropped init/add per chain is measurable.
     def taps(src, d, axis, lo, hi):
         n = src.shape[axis]
-        out = jnp.zeros_like(src)
+        out = None
         for a in range(lo, hi + 1):
             w = jnp.maximum(1.0 - jnp.abs(d - float(a)), 0.0)
-            out = out + pltpu.roll(src, (n - a) % n, axis) * w
+            term = pltpu.roll(src, (n - a) % n, axis) * w
+            out = term if out is None else out + term
         return out
 
     def taps_cached(src, w_ref, axis, t_lo, t_hi):
         """Cached-weight taps for tap indices [t_lo, t_hi] (tap t samples
         offset a = t - _CALM_DISP)."""
         n = src.shape[axis]
-        out = jnp.zeros_like(src)
+        out = None
         for t in range(t_lo, t_hi + 1):
             a = t - _CALM_DISP
-            out = out + pltpu.roll(src, (n - a) % n, axis) * w_ref[t]
+            term = pltpu.roll(src, (n - a) % n, axis) * w_ref[t]
+            out = term if out is None else out + term
         return out
 
     # Very-calm base tier: most developed planes have max|d| <= 1, where

@@ -554,3 +554,22 @@ def test_shear_scan_kernel_matches_einsum_sweep():
         # cumsum); transmittance in [0, 1] agrees to a few 1e-4.
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    atol=5e-4)
+
+
+def test_lateral_pass_rejects_non_roll_clean_dims():
+    """Hardware-mode lateral passes must return None on non-roll-clean
+    resampled dims: Mosaic pads them in VMEM (150 lanes pad 1.7x) and the
+    padded tap temporaries blew the 16 MB scoped stack at the FluidGI
+    150^3 preset.  The gate fires before any pallas_call is built, so it
+    is testable on CPU with interpret=False."""
+    from fluidx12_tpu.ops.pallas.advect import (
+        _run_pass, _run_pass_fused, fused_xy_supported)
+
+    vol = jnp.zeros((7, 2, 150, 150), jnp.bfloat16)
+    disp = jnp.zeros((2, 150, 150), jnp.float32)
+    assert _run_pass_fused(vol, axis=3, interpret=False, disp_ch=0,
+                           scale=0.5) is None
+    assert _run_pass_fused(vol, axis=2, interpret=False, disp_ch=1,
+                           scale=0.5) is None
+    assert _run_pass(vol, disp, axis=3, interpret=False) is None
+    assert not fused_xy_supported((150, 150, 150))

@@ -93,8 +93,14 @@ class SceneParams(NamedTuple):
 
 
 def make_initial_state(config: FluidConfig) -> FluidState:
-    """All-zero fields, like freshly created D3D12 committed resources."""
-    z, y, x = config.zyx
+    """All-zero fields, like freshly created D3D12 committed resources.
+
+    Non-roll-clean grids (the FluidGI 150^3 preset) allocate the padded
+    storage layout (core/padding.py): the logical volume sits at the origin
+    of a roll-clean (Zp, Yp, Xp) array so every Pallas kernel tiles it."""
+    from fluidx12_tpu.core.padding import storage_zyx
+
+    z, y, x = storage_zyx(config)
     dt = config.sim_dtype
     return FluidState(
         fields=jnp.zeros((7, z, y, x), dtype=dt),

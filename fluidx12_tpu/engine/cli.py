@@ -121,7 +121,9 @@ def main(argv=None) -> int:
     engine.render_method = RenderMethod(args.method)
     engine.is_paused = args.paused
     if args.restore:
-        engine.state = load_state(args.restore, expected_zyx=cfg.zyx)
+        from fluidx12_tpu.core.padding import storage_zyx
+
+        engine.state = load_state(args.restore, expected_zyx=storage_zyx(cfg))
 
     loop = FrameLoop(engine, show_fps=not args.no_fps,
                      watchdog_every=args.watchdog, metrics_path=args.metrics,

@@ -149,6 +149,12 @@ class FluidXEngine:
             params = unpack_scene_params(packed_params)
             state = simulate(state, params.time_step, cfg)
             grid = state.color
+            if cfg.is_3d and tuple(grid.shape[-3:]) != tuple(cfg.zyx):
+                # Padded storage layout (core/padding.py): render passes
+                # consume the compact logical volume (one ~0.1 ms slice).
+                from fluidx12_tpu.core.padding import crop_to_logical
+
+                grid = crop_to_logical(grid, cfg)
 
             if not cfg.is_3d:
                 rgba = visualize_color_2d(grid, cfg)

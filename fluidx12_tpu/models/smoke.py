@@ -78,6 +78,10 @@ class SmokeModel:
         method = self.method
         state = simulate(state, params.time_step, cfg)
         grid = state.color
+        if cfg.is_3d and tuple(grid.shape[-3:]) != tuple(cfg.zyx):
+            from fluidx12_tpu.core.padding import crop_to_logical
+
+            grid = crop_to_logical(grid, cfg)
 
         if not cfg.is_3d:
             rgba = visualize_color_2d(grid, cfg)

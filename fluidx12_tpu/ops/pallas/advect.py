@@ -55,8 +55,18 @@ def _clamp_disp_inbounds(d, axis_ids_f, n):
     selects PER TAP PER CHANNEL (the round-2 kernels' biggest VPU cost) with
     one clip on the channel-free displacement.  Taps outside the clamped
     range carry exactly zero weight, so wrapped roll values are harmless.
+
+    `n` is the LOGICAL axis extent: on the padded storage layout
+    (core/padding.py) it is smaller than the array dim, which makes every
+    out-of-logical tap zero-weight -- ghost values are never sampled, and
+    the interior exactly reproduces the compact clamp semantics.  The final
+    re-clip to +-MAX_DISP is a no-op for logical cells (their in-bounds
+    range straddles 0) but keeps ghost cells' manufactured displacements
+    (i >= n forces d <= n-1-i, arbitrarily negative) inside the tap span so
+    the tier predicates stay meaningful there.
     """
-    return jnp.clip(d, -axis_ids_f, (n - 1.0) - axis_ids_f)
+    d = jnp.clip(d, -axis_ids_f, (n - 1.0) - axis_ids_f)
+    return jnp.clip(d, -float(MAX_DISP), float(MAX_DISP))
 
 
 _MID_DISP = 6  # middle displacement tier (z-pass): 14 static taps
@@ -155,7 +165,7 @@ def _pass_kernel(vol_ref, d_ref, out_ref, *, axis: int):
 
 
 def _pass_kernel_fused_d(vol_ref, scale_ref, out_ref, *, axis: int,
-                         disp_ch: int):
+                         disp_ch: int, n_log: int = 0):
     """All-channel resample pass computing the displacement IN-BLOCK:
     d = clip(-u[disp_ch] * scale) needs no separate XLA pass or
     HBM-resident displacement array (saves one volume-sized read+write per
@@ -164,7 +174,8 @@ def _pass_kernel_fused_d(vol_ref, scale_ref, out_ref, *, axis: int,
     Two-tier taps: calm blocks (the majority at this granularity) unroll
     6 static rolls, fast-flow blocks the full 26 (_resample_clamped); both
     are bit-identical and select-free (edge clamping rides in the
-    displacement).
+    displacement).  n_log: logical extent of the resampled axis on the
+    padded layout (0 = compact, use the block dim).
     """
     q = vol_ref[...]
     f32 = jnp.float32
@@ -172,7 +183,7 @@ def _pass_kernel_fused_d(vol_ref, scale_ref, out_ref, *, axis: int,
     d = jnp.clip(-q[disp_ch].astype(f32) * scale_ref[0],
                  -float(MAX_DISP), float(MAX_DISP))
     ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis - 1).astype(f32)
-    d = _clamp_disp_inbounds(d, ids, n)
+    d = _clamp_disp_inbounds(d, ids, n_log or n)
     calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
 
     @pl.when(calm)
@@ -219,7 +230,7 @@ def _pick_tiles(z: int, lat: int, res: int, gran: int,
 
 
 def _pass_kernel_fused_d1(vol_ref, dsrc_ref, scale_ref, out_ref, w_ref, *,
-                          axis: int):
+                          axis: int, n_log: int = 0):
     """Per-channel variant of _pass_kernel_fused_d: the block holds ONE
     channel, and the displacement channel's block rides a second
     channel-pinned input (fetched once per (z, lat) step -- the channel
@@ -241,7 +252,7 @@ def _pass_kernel_fused_d1(vol_ref, dsrc_ref, scale_ref, out_ref, w_ref, *,
     d = jnp.clip(-dsrc_ref[0].astype(f32) * scale_ref[0],
                  -float(MAX_DISP), float(MAX_DISP))
     ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis - 1).astype(f32)
-    d = _clamp_disp_inbounds(d, ids, n)
+    d = _clamp_disp_inbounds(d, ids, n_log or n)
     calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
 
     @pl.when(ci == 0)
@@ -268,7 +279,7 @@ def _pass_kernel_fused_d1(vol_ref, dsrc_ref, scale_ref, out_ref, w_ref, *,
 
 
 def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
-                    disp_ch: int, scale) -> jax.Array:
+                    disp_ch: int, scale, n_log: int = 0) -> jax.Array:
     """Resample pass with the displacement computed in-block
     (_pass_kernel_fused_d): all channels share a block when the tiling
     fits, else per-channel blocks with a channel-pinned displacement input
@@ -295,7 +306,8 @@ def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
             block = (c, slab, a, lat_t)
             vol_map = lambda zi, li: (0, zi, 0, li)
         return pl.pallas_call(
-            functools.partial(_pass_kernel_fused_d, axis=axis, disp_ch=disp_ch),
+            functools.partial(_pass_kernel_fused_d, axis=axis,
+                              disp_ch=disp_ch, n_log=n_log),
             out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
             grid=(z // slab, lat // lat_t),
             in_specs=[
@@ -323,7 +335,7 @@ def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
         vol_map = lambda zi, li, ci: (ci, zi, 0, li)
         d_map = lambda zi, li, ci, dc=disp_ch: (dc, zi, 0, li)
     return pl.pallas_call(
-        functools.partial(_pass_kernel_fused_d1, axis=axis),
+        functools.partial(_pass_kernel_fused_d1, axis=axis, n_log=n_log),
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
         grid=(z // slab, lat // lat_t, c),
         in_specs=[
@@ -340,7 +352,8 @@ def _run_pass_fused(vol: jax.Array, axis: int, interpret: bool,
 
 
 def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
-                          acc_ref, dx_ref, dy_ref, wx_ref, wy_ref):
+                          acc_ref, dx_ref, dy_ref, wx_ref, wy_ref, *,
+                          nx_log: int = 0, ny_log: int = 0):
     """Both lateral passes (x then y) in ONE kernel visit per channel block.
 
     The two-pass form streams the full 7-channel volume through HBM twice
@@ -391,7 +404,7 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
         dx = jnp.clip(-dsrc_ref[0].astype(f32) * sx_ref[0],
                       -float(MAX_DISP), float(MAX_DISP))
         ids = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 2).astype(f32)
-        dx = _clamp_disp_inbounds(dx, ids, nx)
+        dx = _clamp_disp_inbounds(dx, ids, nx_log or nx)
         dx_ref[...] = dx
         for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
             wx_ref[t] = jnp.maximum(1.0 - jnp.abs(dx - float(a)), 0.0)
@@ -458,7 +471,7 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
         # vol block at step 0 IS channel 1 (u_y), already x-advected above.
         dy = jnp.clip(-txq * sy_ref[0], -float(MAX_DISP), float(MAX_DISP))
         ids = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1).astype(f32)
-        dy = _clamp_disp_inbounds(dy, ids, ny)
+        dy = _clamp_disp_inbounds(dy, ids, ny_log or ny)
         dy_ref[...] = dy
         for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
             wy_ref[t] = jnp.maximum(1.0 - jnp.abs(dy - float(a)), 0.0)
@@ -505,7 +518,8 @@ def fused_xy_supported(zyx, interpret: bool = False) -> bool:
 
 
 def _run_pass_fused_xy(vol: jax.Array, interpret: bool,
-                       scale_x, scale_y) -> jax.Array:
+                       scale_x, scale_y, nx_log: int = 0,
+                       ny_log: int = 0) -> jax.Array:
     """Fused x+y resample of the (7, Z, Y, X) combined field
     (_pass_kernel_fused_xy), or None when the plane cannot fit a
     full-plane block (caller runs the two-pass form)."""
@@ -528,7 +542,8 @@ def _run_pass_fused_xy(vol: jax.Array, interpret: bool,
     sx = jnp.asarray(scale_x, jnp.float32).reshape(1)
     sy = jnp.asarray(scale_y, jnp.float32).reshape(1)
     return pl.pallas_call(
-        _pass_kernel_fused_xy,
+        functools.partial(_pass_kernel_fused_xy, nx_log=nx_log,
+                          ny_log=ny_log),
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
         grid=(z // slab, c),
         in_specs=[
@@ -799,7 +814,8 @@ def _forces_table(config):
 
 
 def _run_zpass(vol: jax.Array, scale, interpret: bool,
-               slab_max: int = 128, forces_cfg=None, forces_dt=None):
+               slab_max: int = 128, forces_cfg=None, forces_dt=None,
+               logical_zyx=None):
     """vol (C, Z, Y, X): resample z with displacement -u_z * scale computed
     in-kernel from channel 2 (see _zpass_kernel).
 
@@ -807,12 +823,16 @@ def _run_zpass(vol: jax.Array, scale, interpret: bool,
     u_z center block keeps the same index across the channel steps and is
     fetched once per (z, y).  Returns None if the shape doesn't tile.
     With forces_cfg/forces_dt, the impulse+force+dissipation pass fuses
-    into the output write (see _zpass_forces_kernel).
+    into the output write (see _zpass_forces_kernel).  logical_zyx: the
+    logical grid extents on the padded layout (tiling always follows the
+    array dims; displacement clamps and force coordinates follow the
+    logical ones).
     """
     c, nz, ny, nx = vol.shape
     plan = _zpass_plan(nz, ny, nx, slab_max)
     if plan is None:
         return None
+    lz, ly, lx = logical_zyx or (nz, ny, nx)
     slab, ytile = plan
     n_slabs = nz // slab
     hb = slab // _ZHBLK      # halo blocks per slab
@@ -841,7 +861,7 @@ def _run_zpass(vol: jax.Array, scale, interpret: bool,
     if forces_cfg is not None:
         cfg = forces_cfg
         kernel = functools.partial(
-            _zpass_forces_kernel, slab=slab, nz=nz, ny=ny, nx=nx, ytile=ytile,
+            _zpass_forces_kernel, slab=slab, nz=lz, ny=ly, nx=lx, ytile=ytile,
             cfg_consts=(float(cfg.impulse_pos[0]), float(cfg.impulse_pos[1]),
                         float(cfg.impulse_pos[2]), float(cfg.impulse_radius),
                         float(cfg.dissipation)))
@@ -850,7 +870,7 @@ def _run_zpass(vol: jax.Array, scale, interpret: bool,
         extra = (jnp.asarray(forces_dt, jnp.float32).reshape(1),
                  jnp.asarray(_forces_table(cfg)))
     else:
-        kernel = functools.partial(_zpass_kernel, slab=slab, nz=nz)
+        kernel = functools.partial(_zpass_kernel, slab=slab, nz=lz)
         extra = ()
     return pl.pallas_call(
         kernel,
@@ -868,8 +888,12 @@ def _run_zpass(vol: jax.Array, scale, interpret: bool,
 def zpass_forces_supported(config) -> bool:
     """True when the z-pass kernel tiles this grid AND may fuse the forces
     epilogue (premultiplied color only: un-premultiplied storage divides
-    rgb by alpha, a cross-channel op the per-channel grid cannot express)."""
-    z, y, x = config.zyx
+    rgb by alpha, a cross-channel op the per-channel grid cannot express).
+    Tiling is judged on the STORAGE dims (padded layouts tile even when the
+    logical grid would not, core/padding.py)."""
+    from fluidx12_tpu.core.padding import storage_zyx
+
+    z, y, x = storage_zyx(config)
     return (config.is_3d and config.pre_multiplied
             and _zpass_plan(z, y, x) is not None)
 
@@ -880,10 +904,19 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
     Any pass without a valid tiling falls back to its XLA twin for that pass.
     forces_dt (only valid when zpass_forces_supported) fuses the
     impulse/forces/dissipation pass into the z-pass output write.
+
+    On the padded storage layout (core/padding.py) `both` carries the
+    roll-clean storage dims while config.zyx stays logical: displacement
+    scales and in-bounds clamps use the logical extents, so out-of-logical
+    taps are zero-weight and the interior matches the compact kernels
+    exactly.  The padded path only runs pass forms whose edge handling is
+    displacement-absorbed (fused/zpass kernels + the clamped XLA twin); the
+    legacy precomputed-displacement form keeps compact-only edge selects.
     """
-    from fluidx12_tpu.sim.advect_fast import _advect_1d
+    from fluidx12_tpu.sim.advect_fast import _advect_1d, _advect_1d_clamped
 
     z, y, x = config.zyx
+    padded = tuple(both.shape[-3:]) != (z, y, x)
     interpret = jax.default_backend() == "cpu"
 
     def clip_disp(u, scale):
@@ -891,15 +924,20 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
         return jnp.clip(-u.astype(jnp.float32) * scale,
                         -float(MAX_DISP), float(MAX_DISP))
 
-    def xla_1d(vol, d, axis):
+    def xla_1d(vol, d, axis, n_log):
         # XLA-twin fallback computes in f32 and restores the storage dtype.
-        return _advect_1d(vol.astype(jnp.float32), d, axis).astype(vol.dtype)
+        vol32 = vol.astype(jnp.float32)
+        out = (_advect_1d_clamped(vol32, d, axis, n_log) if padded
+               else _advect_1d(vol32, d, axis))
+        return out.astype(vol.dtype)
 
     # Fused x+y: both lateral passes in one kernel visit when the plane
     # fits a full-plane block (the intermediate never exists in HBM).
     out = None
     if config.advect_fuse_xy:
-        out = _run_pass_fused_xy(both, interpret, dt * x, dt * y)
+        out = _run_pass_fused_xy(both, interpret, dt * x, dt * y,
+                                 nx_log=x if padded else 0,
+                                 ny_log=y if padded else 0)
 
     if out is None:
         # Pass x (lanes) then pass y (sublanes), each an all-channel
@@ -907,19 +945,21 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
         # reads the x-advected u_y from its own input block -- no HBM
         # displacement arrays anywhere).
         out = _run_pass_fused(both, axis=3, interpret=interpret,
-                              disp_ch=0, scale=dt * x)
-        if out is None:
+                              disp_ch=0, scale=dt * x,
+                              n_log=x if padded else 0)
+        if out is None and not padded:
             out = _run_pass(both, clip_disp(both[0], dt * x), axis=3,
                             interpret=interpret)
         if out is None:
-            out = xla_1d(both, clip_disp(both[0], dt * x), axis=3)
+            out = xla_1d(both, clip_disp(both[0], dt * x), axis=3, n_log=x)
         out2 = _run_pass_fused(out, axis=2, interpret=interpret,
-                               disp_ch=1, scale=dt * y)
-        if out2 is None:
+                               disp_ch=1, scale=dt * y,
+                               n_log=y if padded else 0)
+        if out2 is None and not padded:
             out2 = _run_pass(out, clip_disp(out[1], dt * y), axis=2,
                              interpret=interpret)
         if out2 is None:
-            out2 = xla_1d(out, clip_disp(out[1], dt * y), axis=2)
+            out2 = xla_1d(out, clip_disp(out[1], dt * y), axis=2, n_log=y)
         out = out2
     if not config.is_3d:
         return out
@@ -928,14 +968,18 @@ def backtrace_pallas(both: jax.Array, dt, config, forces_dt=None) -> jax.Array:
     # computed in-kernel from u_z).
     out_z = _run_zpass(out, dt * z, interpret=interpret,
                        forces_cfg=config if forces_dt is not None else None,
-                       forces_dt=forces_dt)
+                       forces_dt=forces_dt,
+                       logical_zyx=(z, y, x) if padded else None)
     if out_z is not None:
         return out_z
+
+    if padded:
+        return xla_1d(out, clip_disp(out[2], dt * z), axis=1, n_log=z)
 
     # Fallback: transpose z onto lanes, resample, transpose back.
     zt = jnp.transpose(out, (0, 3, 2, 1))  # (7, X, Y, Z)
     dz_t = jnp.transpose(clip_disp(out[2], dt * z), (2, 1, 0))  # (X, Y, Z)
     out_t = _run_pass(zt, dz_t, axis=3, interpret=interpret)
     if out_t is None:
-        return xla_1d(out, clip_disp(out[2], dt * z), axis=1)
+        return xla_1d(out, clip_disp(out[2], dt * z), axis=1, n_log=z)
     return jnp.transpose(out_t, (0, 3, 2, 1))

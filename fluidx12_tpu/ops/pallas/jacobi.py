@@ -495,8 +495,10 @@ def jacobi_rr_supported(shape, iters: int) -> bool:
         return False
     _, ytile, halo = pw
     # ytile >= 16 keeps the coarse DMA y-offsets sublane-aligned; halo >
-    # iters leaves at least one FRESH halo ring for the residual stencil.
-    return ytile >= 16 and halo > iters
+    # iters leaves at least one FRESH halo ring for the residual stencil;
+    # ytile >= halo keeps interior windows exactly `halo` rows in (the
+    # 3-variant one-hot my3 matrices assume it).
+    return ytile >= 16 and ytile >= halo and halo > iters
 
 
 def jacobi_pallas_rr(pressure: jax.Array, div: jax.Array, iters: int,
@@ -596,7 +598,11 @@ def jacobi_divrr_supported(shape, iters: int, vel_bytes: int = 2) -> bool:
     if pw is None:
         return False
     _, ytile, halo = pw
-    return ytile >= 16 and halo > iters
+    # ytile >= halo keeps interior windows exactly `halo` rows in, the
+    # assumption the 3-variant one-hot matrices (_center_row_matrices /
+    # my3) bake in; thinner tiles would clamp lo_y to a different offset
+    # and silently select wrong rows (tests/test_pallas.py gate tests).
+    return ytile >= 16 and ytile >= halo and halo > iters
 
 
 def jacobi_grad_supported(shape, iters: int, vel_bytes: int = 2) -> bool:
@@ -612,7 +618,9 @@ def jacobi_grad_supported(shape, iters: int, vel_bytes: int = 2) -> bool:
     if pw is None:
         return False
     _, ytile, halo = pw
-    return ytile >= 8 and halo > iters
+    # ytile >= halo: same one-hot-matrix window-offset assumption as
+    # jacobi_divrr_supported above.
+    return ytile >= 8 and ytile >= halo and halo > iters
 
 
 def _center_row_matrices(ytile: int, size_y: int, halo: int, ny: int):

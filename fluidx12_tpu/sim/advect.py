@@ -67,10 +67,14 @@ def apply_impulse_forces(
     dt = jnp.asarray(time_step, dtype)
     z, y, x = config.zyx
     # Broadcastable per-axis simulation-space coordinates (index + 0.5)/size,
-    # mirroring GridToSimulationSpace (Simulation.hlsli:7-10).
-    cx = ((jnp.arange(x, dtype=dtype) + 0.5) / x).reshape(1, 1, x)
-    cy = ((jnp.arange(y, dtype=dtype) + 0.5) / y).reshape(1, y, 1)
-    cz = ((jnp.arange(z, dtype=dtype) + 0.5) / z).reshape(z, 1, 1)
+    # mirroring GridToSimulationSpace (Simulation.hlsli:7-10).  Array dims
+    # may exceed the logical grid on the padded storage layout
+    # (core/padding.py); normalization stays LOGICAL, so ghost cells land
+    # beyond 1.0 where the Gaussian impulse never reaches.
+    zp, yp, xp = c_new.shape[-3:]
+    cx = ((jnp.arange(xp, dtype=dtype) + 0.5) / x).reshape(1, 1, xp)
+    cy = ((jnp.arange(yp, dtype=dtype) + 0.5) / y).reshape(1, yp, 1)
+    cz = ((jnp.arange(zp, dtype=dtype) + 0.5) / z).reshape(zp, 1, 1)
     ip = jnp.asarray(config.impulse_pos, dtype)
     dx, dy, dz = cx - ip[0], cy - ip[1], cz - ip[2]
 

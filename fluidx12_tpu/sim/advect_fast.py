@@ -47,10 +47,14 @@ def max_backtrace_disp(velocity: jax.Array, time_step: float,
     cannot silently diverge from the faithful twin: approaching the clamp
     raises a loud warning instead (tests/test_engine.py).
     """
+    from fluidx12_tpu.core.padding import crop_to_logical
+
     z, y, x = config.zyx
-    n_sub = max(int(getattr(config, "advect_substeps", 2)), 1)
+    n_sub = max(int(config.advect_substeps), 1)
     dt_sub = jnp.asarray(time_step, jnp.float32) / n_sub
-    vel = jnp.abs(velocity.astype(jnp.float32))
+    # Padded layouts carry bounded ghost garbage beyond the logical extent;
+    # the guard only reads the logical interior.
+    vel = jnp.abs(crop_to_logical(velocity, config).astype(jnp.float32))
     disp = jnp.maximum(jnp.max(vel[0]) * x, jnp.max(vel[1]) * y)
     if config.is_3d:
         disp = jnp.maximum(disp, jnp.max(vel[2]) * z)
@@ -87,6 +91,39 @@ def _advect_1d(field: jax.Array, disp: jax.Array, axis: int) -> jax.Array:
     return out
 
 
+def _advect_1d_clamped(field: jax.Array, disp: jax.Array, axis: int,
+                       n_log: int) -> jax.Array:
+    """Clamp-addressed dense resample against the LOGICAL extent `n_log` of
+    a (possibly padded) axis -- the XLA twin of the Pallas kernels' clamp
+    semantics (ops/pallas/advect._clamp_disp_inbounds): the displacement is
+    clamped in-bounds per cell, making out-of-logical taps exactly
+    zero-weight, so ghost values beyond n_log are never sampled (circular
+    jnp.roll wraps carry zero weight; ghosts only need to stay finite)."""
+    ids = jax.lax.broadcasted_iota(jnp.float32, disp.shape, axis - 1)
+    d = jnp.clip(disp, -float(MAX_DISP), float(MAX_DISP))
+    d = jnp.clip(jnp.clip(d, -ids, (n_log - 1.0) - ids),
+                 -float(MAX_DISP), float(MAX_DISP))
+    out = jnp.zeros_like(field)
+    for a in range(-MAX_DISP, MAX_DISP + 2):
+        w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)
+        out = out + jnp.roll(field, -a, axis) * w[None]
+    return out
+
+
+def _backtrace_split_clamped(both: jax.Array, dt: jax.Array,
+                             config: FluidConfig) -> jax.Array:
+    """Dimensional-split backtrace on the PADDED storage layout: the
+    padded-exact XLA twin of the Pallas path (clamp edge addressing against
+    the logical extents; compact grids keep the mirror twin below)."""
+    z, y, x = config.zyx
+    dx = -both[0] * dt * x
+    sampled = _advect_1d_clamped(both, dx, axis=3, n_log=x)
+    dy = -sampled[1] * dt * y
+    sampled = _advect_1d_clamped(sampled, dy, axis=2, n_log=y)
+    dz = -sampled[2] * dt * z
+    return _advect_1d_clamped(sampled, dz, axis=1, n_log=z)
+
+
 def _backtrace_split(both: jax.Array, dt: jax.Array, config: FluidConfig) -> jax.Array:
     """One dimensional-split backtrace of the combined (7, Z, Y, X) field.
 
@@ -118,7 +155,7 @@ def advect_fields_fast(
     the reference's ~12-voxel CFL.  Operating on the combined array keeps
     the whole chain concat/split-free (sim/step.py).
     """
-    n_sub = max(int(getattr(config, "advect_substeps", 2)), 1)
+    n_sub = max(int(config.advect_substeps), 1)
     dt_full = jnp.asarray(time_step, jnp.float32)
 
     use_kernel = (
@@ -126,6 +163,7 @@ def advect_fields_fast(
         and config.pallas_advect
         and jax.default_backend() == "tpu"
     )
+    padded = tuple(fields.shape[-3:]) != tuple(config.zyx)
     both = fields
     if not use_kernel:
         # The XLA twin computes in f32 regardless of storage dtype.
@@ -149,6 +187,8 @@ def advect_fields_fast(
             both = backtrace_pallas(
                 both, dt_full / n_sub, config,
                 forces_dt=dt_full if (last and inkernel_forces) else None)
+        elif padded:
+            both = _backtrace_split_clamped(both, dt_full / n_sub, config)
         else:
             both = _backtrace_split(both, dt_full / n_sub, config)
     if inkernel_forces:

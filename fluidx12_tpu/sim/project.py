@@ -125,6 +125,14 @@ def project(
     is_3d = config.is_3d
     rho = config.fluid_density_3d if is_3d else config.fluid_density_2d
 
+    if is_3d and tuple(fields.shape[-3:]) != tuple(config.zyx):
+        # Padded storage layout (core/padding.py): the logically-masked
+        # stencil twin reproduces the compact clamp semantics exactly on
+        # roll-clean padded shapes (sim/padded.py).
+        from fluidx12_tpu.sim.padded import project_padded
+
+        return project_padded(fields, pressure, time_step, config)
+
     tuning = None
     use_stencil = False
     use_mg = False

@@ -33,7 +33,22 @@ def simulate(state: FluidState, time_step: jax.Array, config: FluidConfig) -> Fl
 
         fields = advect_fields_fast(state.fields, time_step, config)
     else:
-        velocity, color = advect(state.velocity, state.color, time_step, config)
+        from fluidx12_tpu.core.padding import (
+            crop_to_logical,
+            is_padded,
+            pad_to_storage,
+        )
+
+        # The faithful gather-based advect runs on the compact logical
+        # volume (its mirror sampler is defined over the logical extent);
+        # padded storage crops in and pads back out around it.
+        flds = state.fields
+        padded = is_padded(flds, config)
+        if padded:
+            flds = crop_to_logical(flds, config)
+        velocity, color = advect(flds[:3], flds[3:], time_step, config)
         fields = jnp.concatenate([velocity, color], axis=0)
+        if padded:
+            fields = pad_to_storage(fields, config)
     fields, pressure = project(fields, state.pressure, time_step, config)
     return FluidState(fields=fields.astype(store), pressure=pressure)

@@ -55,6 +55,10 @@ def render_halfblocks(img: np.ndarray, max_cols: int = 80,
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] < 3:
         raise ValueError(f"expected (H, W, 3) image, got {img.shape}")
+    if img.shape[0] == 1:
+        # A 1-pixel-tall image cannot fill a half-block cell (top+bottom);
+        # duplicating the row keeps _box_average's bins non-empty.
+        img = np.repeat(img, 2, axis=0)
     h, w = img.shape[:2]
     # Never upscale: a frame smaller than the cell budget draws 1:1
     # (and bins of zero pixels would divide by zero in _box_average).

@@ -90,7 +90,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from fluidx12_tpu.core.config import RenderMethod
-    from fluidx12_tpu.engine.checkpoint import load_state, save_state
+    from fluidx12_tpu.engine.checkpoint import load_session, save_session
     from fluidx12_tpu.engine.fluidx import FluidXEngine
     from fluidx12_tpu.engine.frame_loop import FrameLoop
 
@@ -121,9 +121,14 @@ def main(argv=None) -> int:
     engine.render_method = RenderMethod(args.method)
     engine.is_paused = args.paused
     if args.restore:
-        from fluidx12_tpu.core.padding import storage_zyx
-
-        engine.state = load_state(args.restore, expected_zyx=storage_zyx(cfg))
+        # Session checkpoint: fluid + frame index, camera, method, pause
+        # (engine/checkpoint.py).  Explicit --method/--paused flags below
+        # would be overwritten, so restore first and reapply CLI overrides.
+        load_session(args.restore, engine)
+        if args.method != build_parser().get_default("method"):
+            engine.render_method = RenderMethod(args.method)
+        if args.paused:
+            engine.is_paused = True
 
     loop = FrameLoop(engine, show_fps=not args.no_fps,
                      watchdog_every=args.watchdog, metrics_path=args.metrics,
@@ -140,7 +145,7 @@ def main(argv=None) -> int:
                  interactive=args.interactive, batch=args.batch)
 
     if args.checkpoint:
-        save_state(args.checkpoint, engine.state)
+        save_session(args.checkpoint, engine)
 
     if args.profile_passes:
         from fluidx12_tpu.engine.profiler import profile_passes

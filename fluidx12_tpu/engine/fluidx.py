@@ -32,17 +32,9 @@ from fluidx12_tpu.core.state import (
     unpack_scene_params,
 )
 from fluidx12_tpu.gi.sh import project_cubemap_sh
-from fluidx12_tpu.render.cubemap import ray_march_cube
 from fluidx12_tpu.render.environment import render_environment
-from fluidx12_tpu.render.lightmap import render_light_map
-from fluidx12_tpu.render.lightmap_sweep import render_light_map_fast
-from fluidx12_tpu.render.slicecomp import ray_march_cube_fast
-from fluidx12_tpu.render.screencomp import ray_cast_direct_fast
-from fluidx12_tpu.render.raycast import ray_cast_direct
-from fluidx12_tpu.render.resolve import resolve_cube
-from fluidx12_tpu.render.visualize2d import visualize_color_2d
+from fluidx12_tpu.render.pipeline import point_light_ok, render_frame
 from fluidx12_tpu.sim.step import simulate
-from fluidx12_tpu.utils.image import composite_premultiplied
 
 
 class FluidXEngine:
@@ -142,7 +134,20 @@ class FluidXEngine:
                        vis_mask: Optional[int] = None,
                        plane_spec=None, rect=None, batch: int = 1):
         cfg = self.config
-        has_probe = self.sh_coeffs is not None
+
+        # Host-evaluated gates, warned once at build: the traced dispatch
+        # itself lives in render/pipeline.render_frame (the ONE branching
+        # site shared with SmokeModel).
+        point_ok = point_light_ok(cfg)
+        if cfg.fast_render and not point_ok:
+            import warnings
+
+            warnings.warn(
+                "point_light with the light inside the volume: the "
+                "projective sweep needs an exterior light; using "
+                "the faithful per-ray paths.",
+                stacklevel=2,
+            )
 
         def step_and_render(state: FluidState, packed_params,
                             sh_coeffs, env_bg):
@@ -156,84 +161,14 @@ class FluidXEngine:
 
                 grid = crop_to_logical(grid, cfg)
 
-            if not cfg.is_3d:
-                rgba = visualize_color_2d(grid, cfg)
-            else:
-                # Fast rendering covers both cube-map methods: with the
-                # sweep, per-sample shadows (merged) and the precomputed
-                # light map (separate) coincide at full volume resolution,
-                # so the merged method rides the same fast pipeline.
-                # Faithful paths keep the reference's distinction
-                # (fast_render=False).
-                #
-                # Point lights (_POINT_LIGHT_, RayMarch.hlsli:40) ride the
-                # projective sweep (lightmap_sweep.point_transmittance)
-                # at full speed when the light sits outside the volume;
-                # only an in-volume point light falls back to the faithful
-                # per-ray paths (warned once at build).
-                from fluidx12_tpu.render.lightmap_sweep import (
-                    point_sweep_supported,
-                )
-
-                point_ok = not cfg.point_light or point_sweep_supported(cfg)
-                fast = cfg.fast_render and point_ok
-                if cfg.fast_render and not point_ok:
-                    import warnings
-
-                    warnings.warn(
-                        "point_light with the light inside the volume: the "
-                        "projective sweep needs an exterior light; using "
-                        "the faithful per-ray paths.",
-                        stacklevel=2,
-                    )
-                # Fast DIRECT methods need the base-plane spec (None when
-                # the eye is inside the volume -> faithful fallback).
-                fast_direct = fast and not method.uses_cube_map and plane_spec is not None
-                light_map = None
-                if method.separate_light_pass or (fast and method.uses_cube_map) or fast_direct:
-                    if fast:
-                        light_map = render_light_map_fast(grid, params, cfg, sh_coeffs)
-                    else:
-                        light_map = render_light_map(grid, params, cfg, sh_coeffs)
-                if method.uses_cube_map:
-                    if fast:
-                        cube = ray_march_cube_fast(grid, params, cfg, light_map,
-                                                   lod=lod, static_mask=vis_mask)
-                    else:
-                        cube = ray_march_cube(
-                            grid, params, cfg, lod=lod,
-                            light_map=light_map, sh_coeffs=sh_coeffs,
-                        )
-                    rgba = resolve_cube(cube, params, cfg, rect=rect)
-                elif fast_direct:
-                    # Perspective shear-warp (render/screencomp.py).  Sample
-                    # count binding mirrors the reference: merged binds the
-                    # max (Fluid.cpp:943), separate the LOD-clamped count
-                    # (Fluid.cpp:968).
-                    num = (params.num_samples if method.separate_light_pass
-                           else jnp.int32(cfg.max_ray_samples))
-                    rgba = ray_cast_direct_fast(grid, params, cfg, light_map,
-                                                plane_spec, num, rect=rect)
-                else:
-                    rgba = ray_cast_direct(
-                        grid, params, cfg,
-                        light_map=light_map, sh_coeffs=sh_coeffs,
-                    )
-
-            # Background: clear color, then environment sky if present
-            # (FluidX12.cpp:469-484), then premultiplied composite.  The
-            # sky depends only on the camera pose + radiance, so the engine
-            # renders it ONCE per pose change (_env_bg, a host-side cache
-            # like the packed CB / scissor rect) and passes the (H, W, 3)
-            # image in -- a static camera never re-fetches the cube map
-            # (part of the GI per-frame delta, VERDICT r3 item 2).
-            bg = jnp.broadcast_to(
-                jnp.asarray(cfg.clear_color[:3], rgba.dtype), rgba.shape[:-1] + (3,)
-            )
-            if env_bg is not None and cfg.is_3d:
-                bg = env_bg.astype(rgba.dtype)
-            image = composite_premultiplied(rgba, bg)
-            return state, jnp.clip(image, 0.0, 1.0)
+            # The env background is a host-side per-pose cache (_env_bg,
+            # like the packed CB / scissor rect): a static camera never
+            # re-fetches the cube map (VERDICT r3 item 2).
+            image = render_frame(grid, params, cfg, method, sh_coeffs,
+                                 lod=lod, vis_mask=vis_mask,
+                                 plane_spec=plane_spec, rect=rect,
+                                 env_bg=env_bg, point_ok=point_ok)
+            return state, image
 
         if batch == 1:
             return jax.jit(step_and_render, donate_argnums=(0,))

@@ -44,7 +44,7 @@ MAX_DISP = 12  # voxels; keep in sync with sim/advect_fast.MAX_DISP
 _CALM_DISP = 2
 
 
-def _clamp_disp_inbounds(d, axis_ids_f, n):
+def _clamp_disp_inbounds(d, axis_ids_f, n, ghost_zero: bool = False):
     """Absorb edge-clamp addressing into the displacement itself.
 
     out[i] = lerp(q[clamp(i+floor(d))], q[clamp(i+floor(d)+1)]) is exactly
@@ -59,14 +59,19 @@ def _clamp_disp_inbounds(d, axis_ids_f, n):
     `n` is the LOGICAL axis extent: on the padded storage layout
     (core/padding.py) it is smaller than the array dim, which makes every
     out-of-logical tap zero-weight -- ghost values are never sampled, and
-    the interior exactly reproduces the compact clamp semantics.  The final
-    re-clip to +-MAX_DISP is a no-op for logical cells (their in-bounds
-    range straddles 0) but keeps ghost cells' manufactured displacements
-    (i >= n forces d <= n-1-i, arbitrarily negative) inside the tap span so
-    the tier predicates stay meaningful there.
+    the interior exactly reproduces the compact clamp semantics.  With
+    `ghost_zero` (padded call sites), ghost cells themselves (i >= n) get
+    displacement ZERO (self-copy) instead of the in-bounds-manufactured
+    d <= n-1-i: those large negative values forced the HEAVY tap tier on
+    every block containing ghost lanes/rows/planes (measured 6.0 vs ~2.6 ms
+    advect at the FluidGI 160x160x256 storage); with d = 0 the tier
+    predicates follow the logical flow only.  Compact call sites skip the
+    extra select (ids never exceed n-1 there).
     """
-    d = jnp.clip(d, -axis_ids_f, (n - 1.0) - axis_ids_f)
-    return jnp.clip(d, -float(MAX_DISP), float(MAX_DISP))
+    clipped = jnp.clip(d, -axis_ids_f, (n - 1.0) - axis_ids_f)
+    if ghost_zero:
+        return jnp.where(axis_ids_f > (n - 1.0), 0.0, clipped)
+    return clipped
 
 
 _MID_DISP = 6  # middle displacement tier (z-pass): 14 static taps
@@ -183,7 +188,8 @@ def _pass_kernel_fused_d(vol_ref, scale_ref, out_ref, *, axis: int,
     d = jnp.clip(-q[disp_ch].astype(f32) * scale_ref[0],
                  -float(MAX_DISP), float(MAX_DISP))
     ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis - 1).astype(f32)
-    d = _clamp_disp_inbounds(d, ids, n_log or n)
+    d = _clamp_disp_inbounds(d, ids, n_log or n,
+                             ghost_zero=bool(n_log))
     calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
 
     @pl.when(calm)
@@ -252,7 +258,8 @@ def _pass_kernel_fused_d1(vol_ref, dsrc_ref, scale_ref, out_ref, w_ref, *,
     d = jnp.clip(-dsrc_ref[0].astype(f32) * scale_ref[0],
                  -float(MAX_DISP), float(MAX_DISP))
     ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis - 1).astype(f32)
-    d = _clamp_disp_inbounds(d, ids, n_log or n)
+    d = _clamp_disp_inbounds(d, ids, n_log or n,
+                             ghost_zero=bool(n_log))
     calm = jnp.max(jnp.abs(d)) <= float(_CALM_DISP)
 
     @pl.when(ci == 0)
@@ -404,7 +411,8 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
         dx = jnp.clip(-dsrc_ref[0].astype(f32) * sx_ref[0],
                       -float(MAX_DISP), float(MAX_DISP))
         ids = jax.lax.broadcasted_iota(jnp.int32, dx.shape, 2).astype(f32)
-        dx = _clamp_disp_inbounds(dx, ids, nx_log or nx)
+        dx = _clamp_disp_inbounds(dx, ids, nx_log or nx,
+                                  ghost_zero=bool(nx_log))
         dx_ref[...] = dx
         for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
             wx_ref[t] = jnp.maximum(1.0 - jnp.abs(dx - float(a)), 0.0)
@@ -471,7 +479,8 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
         # vol block at step 0 IS channel 1 (u_y), already x-advected above.
         dy = jnp.clip(-txq * sy_ref[0], -float(MAX_DISP), float(MAX_DISP))
         ids = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1).astype(f32)
-        dy = _clamp_disp_inbounds(dy, ids, ny_log or ny)
+        dy = _clamp_disp_inbounds(dy, ids, ny_log or ny,
+                                  ghost_zero=bool(ny_log))
         dy_ref[...] = dy
         for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
             wy_ref[t] = jnp.maximum(1.0 - jnp.abs(dy - float(a)), 0.0)
@@ -622,7 +631,8 @@ _ZHBLK = 16             # halo block planes (smallest multiple of 8 >= _ZHALO)
 
 
 def _zpass_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref, out_ref,
-                  win_ref, *, slab: int, nz: int, epilogue=None):
+                  win_ref, *, slab: int, nz: int, epilogue=None,
+                  ghost_zero: bool = False):
     """Resample the leading (z) axis of one channel's slab.
 
     The x/y passes resample the lane/sublane axes with vector rolls; z is a
@@ -672,7 +682,8 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref, out_ref,
                        -float(MAX_DISP), float(MAX_DISP))
         ids = (jax.lax.broadcasted_iota(jnp.int32, dch.shape, 0)
                + z0 + zc)  # global z of this chunk's planes
-        dch = _clamp_disp_inbounds(dch, ids.astype(f32), nz)
+        dch = _clamp_disp_inbounds(dch, ids.astype(f32), nz,
+                                   ghost_zero=ghost_zero)
         lo = jnp.floor(jnp.min(dch)).astype(jnp.int32)
         hi = jnp.floor(jnp.max(dch)).astype(jnp.int32) + 1
 
@@ -695,7 +706,7 @@ def _zpass_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref, out_ref,
 def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref,
                          dt_ref, fc_ref, out_ref, win_ref, *, slab: int,
                          nz: int, ny: int, nx: int, ytile: int,
-                         cfg_consts: tuple):
+                         cfg_consts: tuple, ghost_zero: bool = False):
     """z-resample + fused impulse/forces epilogue (the last advect pass
     writes the FORCED state directly, saving a full 7-channel HBM round
     trip over a separate force pass; semantics identical to
@@ -760,7 +771,8 @@ def _zpass_forces_kernel(prev_ref, cur_ref, next_ref, uz_ref, scale_ref,
                 clipped * atten).astype(out_ref.dtype)
 
     _zpass_body(prev_ref, cur_ref, next_ref, uz_ref, scale_ref, out_ref,
-                win_ref, slab=slab, nz=nz, epilogue=epilogue)
+                win_ref, slab=slab, nz=nz, epilogue=epilogue,
+                ghost_zero=ghost_zero)
 
 
 # The plain kernel shares the body; keep one traced implementation.
@@ -864,13 +876,15 @@ def _run_zpass(vol: jax.Array, scale, interpret: bool,
             _zpass_forces_kernel, slab=slab, nz=lz, ny=ly, nx=lx, ytile=ytile,
             cfg_consts=(float(cfg.impulse_pos[0]), float(cfg.impulse_pos[1]),
                         float(cfg.impulse_pos[2]), float(cfg.impulse_radius),
-                        float(cfg.dissipation)))
+                        float(cfg.dissipation)),
+            ghost_zero=logical_zyx is not None)
         in_specs = in_specs + [smem((1,), lambda zi, yi, ci: (0,)),
                                smem((7, 5), lambda zi, yi, ci: (0, 0))]
         extra = (jnp.asarray(forces_dt, jnp.float32).reshape(1),
                  jnp.asarray(_forces_table(cfg)))
     else:
-        kernel = functools.partial(_zpass_kernel, slab=slab, nz=lz)
+        kernel = functools.partial(_zpass_kernel, slab=slab, nz=lz,
+                                   ghost_zero=logical_zyx is not None)
         extra = ()
     return pl.pallas_call(
         kernel,

@@ -35,10 +35,15 @@ from fluidx12_tpu.ops.pallas.shifts import (
 
 
 def _window_sweeps(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int, ytile: int,
-                   halo: int, inner: int, nz: int, ny: int):
+                   halo: int, inner: int, nz: int, ny: int, lgl=None):
     """DMA in one halo'd (z-slab x y-strip) window from q_hbm, run `inner`
     clamped sweeps in VMEM, DMA the center back to out_hbm; one window of
-    one round of the fused multi-round kernel (_jacobi_fused_kernel)."""
+    one round of the fused multi-round kernel (_jacobi_fused_kernel).
+
+    `lgl` = (lz, ly, lx) LOGICAL extents on the padded storage layout
+    (core/padding.py): the +edge clamps move to the logical boundary --
+    bit-identical stencil on the interior, same op count (the clamp
+    selects' thresholds are constants), ghost values never couple in."""
     z0 = zi * slab
     y0 = yi * ytile
     size_z = slab + 2 * halo
@@ -64,19 +69,20 @@ def _window_sweeps(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int, ytile: int,
         q = q_buf[...]
         b = b_buf[...]
 
+        lz, ly, lx = lgl or (nz, ny, q_hbm.shape[2])
         ids_z = jax.lax.broadcasted_iota(jnp.int32, (size_z, 1, 1), 0)
 
         def sweep(_, q):
-            up = _shift_sublane_global(q, +1, lo_y, ny)
+            up = _shift_sublane_global(q, +1, lo_y, ly)
             dn = _shift_sublane_global(q, -1, lo_y, ny)
-            rt = _shift_lane_clamped(q, +1)
+            rt = _shift_lane_clamped(q, +1, hi=lx)
             lt = _shift_lane_clamped(q, -1)
-            # z neighbors: shift buffer planes, clamp at global 0 / nz-1.
+            # z neighbors: shift buffer planes, clamp at global 0 / lz-1.
             zf = jnp.concatenate([q[1:], q[-1:]], axis=0)
             zb = jnp.concatenate([q[:1], q[:-1]], axis=0)
             gz = ids_z[:, 0, 0] + lo_z
             at_top = (gz == 0)[:, None, None]
-            at_bot = (gz == nz - 1)[:, None, None]
+            at_bot = (gz == lz - 1)[:, None, None]
             zb = jnp.where(at_top, q, zb)
             zf = jnp.where(at_bot, q, zf)
             return (up + dn + rt + lt + zf + zb - b) / 6.0
@@ -106,7 +112,7 @@ def _window_sweeps(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int, ytile: int,
 
 
 def _jacobi_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
-                         halo: int, inner: int, nz: int, ny: int):
+                         halo: int, inner: int, nz: int, ny: int, lgl=None):
     """ALL rounds in one call: grid = (round, z-slab, y-strip) with the
     round dim outermost (TPU grids iterate sequentially on one core, so
     every window of round r completes before round r+1 starts -- the same
@@ -121,7 +127,8 @@ def _jacobi_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
     r = pl.program_id(0)
     zi = pl.program_id(1)
     yi = pl.program_id(2)
-    kw = dict(slab=slab, ytile=ytile, halo=halo, inner=inner, nz=nz, ny=ny)
+    kw = dict(slab=slab, ytile=ytile, halo=halo, inner=inner, nz=nz, ny=ny,
+              lgl=lgl)
 
     @pl.when(r % 2 == 0)
     def _():
@@ -134,7 +141,8 @@ def _jacobi_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
 
 def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
                       ytile: int, halo: int, inner: int, nz: int, ny: int,
-                      chunk: int = 8, rr=None, div=None, grad=None):
+                      chunk: int = 8, rr=None, div=None, grad=None,
+                      lgl=None):
     """Plane-sweep variant for big volumes (planes > 128x128).
 
     The whole-window kernel (_jacobi_kernel) keeps ~8 window-sized sweep
@@ -199,13 +207,16 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
         cp_q.wait()
 
         nx = qa.shape[2]
-        # Edge masks, computed once: rows/lanes clamped at *global* edges.
+        # Edge masks, computed once: rows/lanes clamped at *global* edges
+        # (LOGICAL edges on the padded storage layout: same op count, the
+        # thresholds are constants; see _window_sweeps).
+        lz, ly, lx = lgl or (nz, ny, nx)
         gy = jax.lax.broadcasted_iota(jnp.int32, (1, size_y, nx), 1) + lo_y
         top_y = gy == 0
-        bot_y = gy == ny - 1
+        bot_y = gy == ly - 1
         ix = jax.lax.broadcasted_iota(jnp.int32, (1, size_y, nx), 2)
         first_x = ix == 0
-        last_x = ix == nx - 1
+        last_x = ix == lx - 1
         n_chunks = size_z // chunk
 
         if div is None:
@@ -234,7 +245,7 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
                 gz = (jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
                       + z + lo_z)
                 zm = jnp.where(gz == 0, uz, zm)
-                zp = jnp.where(gz == nz - 1, uz, zp)
+                zp = jnp.where(gz == lz - 1, uz, zp)
                 b_buf[pl.ds(z, chunk)] = 0.5 * (dx + dy + (zp - zm))
                 return 0
 
@@ -270,7 +281,7 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
                     axis=0)
                 gz = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0) + z + lo_z
                 zm = jnp.where(gz == 0, q, zm)
-                zp = jnp.where(gz == nz - 1, q, zp)
+                zp = jnp.where(gz == lz - 1, q, zp)
                 dst[pl.ds(z, chunk)] = (
                     up + dn + rt + lt + zm + zp - b_buf[pl.ds(z, chunk)]
                 ) / 6.0
@@ -321,7 +332,7 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
                     axis=0)
                 gz = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0) + z + lo_z
                 zm = jnp.where(gz == 0, q, zm)
-                zp = jnp.where(gz == nz - 1, q, zp)
+                zp = jnp.where(gz == lz - 1, q, zp)
                 res = b_buf[pl.ds(z, chunk)] - (
                     up + dn + rt + lt + zm + zp - 6.0 * q)
                 # x-pool (MXU) -> z-pair mean (leading dim) -> y center
@@ -448,13 +459,15 @@ def _planewise_window(q_hbm, b_hbm, out_hbm, zi, yi, *, slab: int,
 
 
 def _planewise_fused_kernel(qa_in, b_hbm, qa, qb, *, slab: int, ytile: int,
-                            halo: int, inner: int, nz: int, ny: int):
+                            halo: int, inner: int, nz: int, ny: int,
+                            lgl=None):
     """All rounds in one call (see _jacobi_fused_kernel)."""
     del qa_in
     r = pl.program_id(0)
     zi = pl.program_id(1)
     yi = pl.program_id(2)
-    kw = dict(slab=slab, ytile=ytile, halo=halo, inner=inner, nz=nz, ny=ny)
+    kw = dict(slab=slab, ytile=ytile, halo=halo, inner=inner, nz=nz, ny=ny,
+              lgl=lgl)
 
     @pl.when(r % 2 == 0)
     def _():
@@ -972,7 +985,8 @@ def jacobi_pallas_supported(shape, iters: int, slab: int = 16, inner: int = 8) -
 
 
 def jacobi_pallas(pressure: jax.Array, div: jax.Array, iters: int,
-                  slab: int = 16, inner: int = 8) -> jax.Array:
+                  slab: int = 16, inner: int = 8,
+                  logical_zyx=None) -> jax.Array:
     """Run `iters` Jacobi sweeps (3D only). pressure/div: (Z, Y, X) f32.
 
     Plane <= 128x128 volumes use the whole-window kernel; larger planes the
@@ -980,17 +994,24 @@ def jacobi_pallas(pressure: jax.Array, div: jax.Array, iters: int,
     back to the y-tiled whole-window kernel.  All rounds run in ONE
     pallas_call (round-outermost grid, ping-pong full-volume outputs, input
     aliased to the first; see _jacobi_fused_kernel).
+
+    `logical_zyx`: logical extents on the padded storage layout
+    (core/padding.py) -- the +edge clamps move to the logical boundary,
+    making the interior bit-identical to compact sweeps at the logical
+    shape (the masked twin sim/padded.jacobi_sweeps_masked); ghost cells
+    relax bounded garbage that never couples inward.
     """
     if iters % inner:
         raise ValueError("iters must be a multiple of inner")
     nz, ny, nx = pressure.shape
+    lgl = tuple(logical_zyx) if logical_zyx is not None else None
 
     pw = _plan_planewise(pressure.shape, inner) if ny * nx > 128 * 128 else None
     if pw is not None:
         slab, ytile, halo = pw
         kernel = functools.partial(
             _planewise_fused_kernel, slab=slab, ytile=ytile, halo=halo,
-            inner=inner, nz=nz, ny=ny)
+            inner=inner, nz=nz, ny=ny, lgl=lgl)
     else:
         plan = _plan(pressure.shape, slab, inner)
         if plan is None:
@@ -998,7 +1019,7 @@ def jacobi_pallas(pressure: jax.Array, div: jax.Array, iters: int,
         slab, ytile = plan
         kernel = functools.partial(
             _jacobi_fused_kernel, slab=slab, ytile=ytile, halo=inner,
-            inner=inner, nz=nz, ny=ny)
+            inner=inner, nz=nz, ny=ny, lgl=lgl)
 
     rounds = iters // inner
     shape = jax.ShapeDtypeStruct(pressure.shape, jnp.float32)

@@ -14,13 +14,18 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 
-def shift_lane_clamped(q, offset):
-    """Edge-clamped +-1 shift along the lane axis (full-width X)."""
+def shift_lane_clamped(q, offset, hi=None):
+    """Edge-clamped +-1 shift along the lane axis (full-width X).
+
+    `hi` overrides the +edge clamp position (the LOGICAL lane count on the
+    padded storage layout, core/padding.py): the +1 fetch at lane hi-1
+    reads itself, so ghost lanes beyond never couple into the interior.
+    Same op count as the compact clamp -- the threshold is a constant."""
     n = q.shape[-1]
     rolled = pltpu.roll(q, (n - offset) % n, q.ndim - 1)
     ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
     if offset > 0:
-        return jnp.where(ids == n - 1, q, rolled)
+        return jnp.where(ids == (n if hi is None else hi) - 1, q, rolled)
     return jnp.where(ids == 0, q, rolled)
 
 

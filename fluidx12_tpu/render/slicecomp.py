@@ -227,16 +227,75 @@ def _march_face(
     rem_local = [_ARR_TO_LOCAL[a] for a in (1, 2, 3) if a != _ARR_AXIS[axis]]
     swapped = rem_local == [ua, va]  # X faces: rows resample u, cols v
 
-    def w_for(local_axis):
-        # (n_s, R, n_src) lerp weights resampling one lateral array dim.
+    def coords_for(local_axis):
+        # (n_s, R) source-space coordinates along one lateral array dim.
         if local_axis == ua:
             q_line, e_q, unit_sign = u_line, local_eye[ua], us
         else:
             q_line, e_q, unit_sign = v_line, local_eye[va], vs
         n_src = sizes[local_axis]
         h = e_q + (q_line[None, :] * unit_sign - e_q) * s[:, None]
-        return _interp_weights((h + 1.0) * 0.5 * n_src - 0.5, n_src,
-                               zero_outside=outside)
+        return (h + 1.0) * 0.5 * n_src - 0.5, n_src
+
+    def w_for(local_axis):
+        # (n_s, R, n_src) lerp weights resampling one lateral array dim.
+        coords, n_src = coords_for(local_axis)
+        return _interp_weights(coords, n_src, zero_outside=outside)
+
+    # Per-texel ray direction and step length through one slice (rows = v,
+    # cols = u; transposed to match the resampled (r, s) layout when this
+    # face's lateral order is swapped).
+    tex_pos = jnp.stack(
+        jnp.broadcast_arrays(*_local_from_uv(face_id, u_line[None, :], v_line[:, None], dtype)),
+        axis=-1,
+    )  # (R, R, 3)
+    rd = tex_pos - local_eye
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    dm = jnp.abs(rd[..., axis])
+    step_len = (2.0 * stride / n_m) / jnp.maximum(dm, 1e-4)  # (R, R)
+
+    ref_step = MAX_DIST / num_samples.astype(dtype)
+    n_steps = step_len / ref_step
+    if swapped:
+        n_steps = n_steps.T
+
+    valid = (s > 0.0) & (s <= 1.0)
+    r_rows = r_u if rem_local[0] == ua else r_v
+    r_cols = r_u if rem_local[1] == ua else r_v
+
+    on_tpu = jax.default_backend() == "tpu"
+    unsharded = (not partial and psum_axis is None and slice_start is None
+                 and row_start is None)
+    big = n_s * r_rows * r_cols >= 4 * 1024 * 1024
+
+    # FULLY fused march (ops/pallas/composite.py::composite_resample_pallas):
+    # the per-slice resample runs on the MXU inside the compositor kernel,
+    # so neither the lerp-weight matrices nor the (4, n_s, R, R) resampled
+    # stack ever exist in HBM -- the round trip that was the measured 1.4 ms
+    # gap at 256^3 (VERDICT r4 item 2).  Sharded variants and unaligned
+    # shapes keep the einsum + XLA chain, which is also the cross-check twin
+    # (tests/test_pallas.py).
+    if config.use_pallas and on_tpu and unsharded and big:
+        from fluidx12_tpu.ops.pallas.composite import (
+            composite_resample_pallas,
+            composite_resample_supported,
+        )
+
+        if composite_resample_supported(n_s, volf.shape[2], volf.shape[3],
+                                        r_rows, r_cols):
+            h_rows, _ = coords_for(rem_local[0])
+            h_cols, _ = coords_for(rem_local[1])
+            acc = composite_resample_pallas(
+                volf, h_rows, h_cols, valid.astype(jnp.float32),
+                n_steps.astype(jnp.float32), float(config.absorption),
+                flip=sign < 0, zero_outside=outside)
+            out_rgb = jnp.moveaxis(acc[1:], 0, -1)
+            scatter = jnp.concatenate(
+                [out_rgb / (2.0 * jnp.pi), acc[0][..., None]],
+                axis=-1).astype(dtype)
+            if swapped:
+                scatter = jnp.swapaxes(scatter, 0, 1)
+            return scatter
 
     w_rows = w_for(rem_local[0])  # resamples volf dim 2
     w_cols = w_for(rem_local[1])  # resamples volf dim 3
@@ -264,40 +323,12 @@ def _march_face(
     dens_r = res[0].astype(dtype)  # (n_s, R, R); transmittance math stays f32
     prod = res[1:4]                # (3, n_s, R, R) bf16, premultiplied rgb*light
 
-    # Per-texel ray direction and step length through one slice (rows = v,
-    # cols = u; transposed to match res when this face's lateral order is
-    # swapped).
-    tex_pos = jnp.stack(
-        jnp.broadcast_arrays(*_local_from_uv(face_id, u_line[None, :], v_line[:, None], dtype)),
-        axis=-1,
-    )  # (R, R, 3)
-    rd = tex_pos - local_eye
-    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-    dm = jnp.abs(rd[..., axis])
-    step_len = (2.0 * stride / n_m) / jnp.maximum(dm, 1e-4)  # (R, R)
-
-    ref_step = MAX_DIST / num_samples.astype(dtype)
-    n_steps = step_len / ref_step
-    if swapped:
-        n_steps = n_steps.T
-
-    valid = (s > 0.0) & (s <= 1.0)
-
-    # Fused streaming compositor (ops/pallas/composite.py): one pass over
-    # the resampled stack with the running transmittance in VMEM, instead
-    # of the XLA chain's several full-stack HBM round trips.  The sharded
-    # variants (partial blocks / psum rows) and unaligned shapes keep the
-    # XLA chain -- it is also the kernel's cross-check twin.
+    # Streaming compositor over a pre-materialized stack
+    # (ops/pallas/composite.py::composite_pallas): the fallback fusion level
+    # when the fully fused kernel's gates fail but the stack is still big
+    # enough that one streaming pass beats the XLA chain's HBM round trips.
     use_ckernel = False
-    if (config.use_pallas and jax.default_backend() == "tpu"
-            and not partial and psum_axis is None and slice_start is None
-            and n_s * res.shape[2] * res.shape[3] >= 4 * 1024 * 1024):
-        # Size gate: on small stacks (128^3 faces) the fused XLA chain wins
-        # -- the per-call boundary stops XLA from overlapping the faces --
-        # while big stacks (256^3 faces, the DIRECT base plane) are HBM
-        # round-trip bound and the streaming kernel nearly halves the march
-        # (measured: 128^3 6.9 -> 12.5 ms WITH kernel; direct 29 -> 15 ms,
-        # 256^3 28 -> 25 ms with this gate).
+    if config.use_pallas and on_tpu and unsharded and big:
         from fluidx12_tpu.ops.pallas.composite import (
             composite_pallas,
             composite_supported,

@@ -98,11 +98,13 @@ def _advect_1d_clamped(field: jax.Array, disp: jax.Array, axis: int,
     semantics (ops/pallas/advect._clamp_disp_inbounds): the displacement is
     clamped in-bounds per cell, making out-of-logical taps exactly
     zero-weight, so ghost values beyond n_log are never sampled (circular
-    jnp.roll wraps carry zero weight; ghosts only need to stay finite)."""
+    jnp.roll wraps carry zero weight; ghosts only need to stay finite).
+    Ghost cells themselves (i >= n_log) self-copy (d = 0), matching the
+    Pallas kernels' ghost_zero clamp (ops/pallas/advect.py)."""
     ids = jax.lax.broadcasted_iota(jnp.float32, disp.shape, axis - 1)
     d = jnp.clip(disp, -float(MAX_DISP), float(MAX_DISP))
-    d = jnp.clip(jnp.clip(d, -ids, (n_log - 1.0) - ids),
-                 -float(MAX_DISP), float(MAX_DISP))
+    d = jnp.where(ids > n_log - 1.0, 0.0,
+                  jnp.clip(d, -ids, (n_log - 1.0) - ids))
     out = jnp.zeros_like(field)
     for a in range(-MAX_DISP, MAX_DISP + 2):
         w = jnp.maximum(1.0 - jnp.abs(d - a), 0.0)

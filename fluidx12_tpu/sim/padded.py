@@ -15,11 +15,13 @@ all levels; the restriction/prolongation matrices are built over the padded
 extent with the prolongation's coarse reads clamped at the LOGICAL coarse
 edge, matching the compact twin's edge clamp.
 
-Everything here is plain XLA on roll-clean shapes -- padded sweeps stream
-at full tile efficiency, unlike the compact 150-lane layout whose
-materialized shifts relayout-crawl.  (A mirror-ghost Pallas smoother is the
-known next step if this pass ever dominates again; at 150^3 the measured
-split was advect 60 ms / projection 3.9 ms, so XLA suffices.)
+Smoothing rides the Pallas window kernels with their +edge clamp
+thresholds moved to the logical extents (ops/pallas/jacobi.py
+`logical_zyx` -- a constant change, zero extra ops) whenever the storage
+shape tiles; transfers, residual, divergence and gradient stay XLA on
+roll-clean padded shapes, which stream at full tile efficiency -- unlike
+the compact 150-lane layout whose materialized shifts relayout-crawl
+(measured 5.3 ms masked-XLA mg at 160x160x256 before the kernel routing).
 """
 
 from __future__ import annotations
@@ -70,6 +72,21 @@ def jacobi_sweeps_masked(pressure: jax.Array, div: jax.Array, iters: int,
     return jax.lax.fori_loop(0, iters, body, pressure)
 
 
+def _smooth_masked(q: jax.Array, b: jax.Array, iters: int, zyx,
+                   use_pallas: bool = True) -> jax.Array:
+    """Masked smoothing via the Pallas window kernels when the storage
+    shape tiles (their +edge clamp thresholds move to the logical extents,
+    ops/pallas/jacobi.py `logical_zyx` -- same stencil, VMEM-blocked
+    traffic), the XLA masked twin otherwise."""
+    if use_pallas and jax.default_backend() == "tpu":
+        from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas, jacobi_tuning
+
+        tuning = jacobi_tuning(q.shape, iters)
+        if tuning is not None:
+            return jacobi_pallas(q, b, iters, *tuning, logical_zyx=zyx)
+    return jacobi_sweeps_masked(q, b, iters, zyx)
+
+
 def divergence_masked(velocity: jax.Array, zyx) -> jax.Array:
     """Central-difference divergence with logically-masked clamp fetches
     (padded-exact twin of sim/project.divergence, 3D)."""
@@ -85,16 +102,34 @@ def divergence_masked(velocity: jax.Array, zyx) -> jax.Array:
         _shift_logical(uz, _AX_Z, +1, lz) - neighbor_shift(uz, _AX_Z, -1))
 
 
+def _logical_mask(shape, zyx):
+    lz, ly, lx = zyx
+    return ((jax.lax.broadcasted_iota(jnp.int32, shape, 0) < lz)
+            & (jax.lax.broadcasted_iota(jnp.int32, shape, 1) < ly)
+            & (jax.lax.broadcasted_iota(jnp.int32, shape, 2) < lx))
+
+
 def subtract_gradient_masked(velocity: jax.Array, pressure: jax.Array,
                              rho: float, zyx) -> jax.Array:
+    """Velocity -= grad(pressure)/rho with logically-masked fetches; ghost
+    cells are written ZERO, (re-)establishing the zero-ghost-velocity
+    invariant every frame.  The invariant is a PERFORMANCE property, not a
+    correctness one (out-of-logical taps are zero-weight regardless): with
+    u = 0 in the ghosts, every advect pass's in-block displacement is
+    exactly 0 there, so the Pallas tap-tier predicates (calm/mid/heavy,
+    per-chunk z bounds) follow the logical flow instead of being forced
+    heavy by ghost garbage -- measured 6.0 -> ~2.6 ms advect at the FluidGI
+    160x160x256 storage.  Self-healing: whatever garbage a restore or a
+    future pass leaves in ghost velocity lasts at most one projection."""
     lz, ly, lx = zyx
     dtype = velocity.dtype
+    mask = _logical_mask(velocity.shape[-3:], zyx)
     g = lambda ax, n: 0.5 * (_shift_logical(pressure, ax, +1, n)
                              - neighbor_shift(pressure, ax, -1)) / rho
     return jnp.stack([
-        velocity[0] - g(_AX_X, lx).astype(dtype),
-        velocity[1] - g(_AX_Y, ly).astype(dtype),
-        velocity[2] - g(_AX_Z, lz).astype(dtype),
+        jnp.where(mask, velocity[0] - g(_AX_X, lx).astype(dtype), 0),
+        jnp.where(mask, velocity[1] - g(_AX_Y, ly).astype(dtype), 0),
+        jnp.where(mask, velocity[2] - g(_AX_Z, lz).astype(dtype), 0),
     ], axis=0)
 
 
@@ -174,16 +209,21 @@ def _residual_masked(q, b, zyx):
 
 def mg_solve_padded(q: jax.Array, b: jax.Array, zyx,
                     pre: int = mgm.MG_PRE, post: int = mgm.MG_POST,
-                    coarse_iters: int = mgm.MG_COARSE_ITERS) -> jax.Array:
+                    coarse_iters: int = mgm.MG_COARSE_ITERS,
+                    use_pallas: bool = True) -> jax.Array:
     """One V(pre, post) cycle on the padded layout, logically masked at
-    every level; interior-exact twin of sim/mg.mg_solve's XLA path."""
-    q = jacobi_sweeps_masked(q, b, pre, zyx)
+    every level; interior-exact twin of sim/mg.mg_solve's XLA path.
+    Smoothing rides the logically-clamped Pallas window kernels where the
+    storage shape tiles (_smooth_masked); transfers/residual stay XLA
+    (one-pass streaming ops)."""
+    q = _smooth_masked(q, b, pre, zyx, use_pallas)
     r = _residual_masked(q, b, zyx)
     r_c = _restrict_padded(r) * 4.0
     c_log = _coarse_zyx(zyx)
-    e_c = jacobi_sweeps_masked(jnp.zeros_like(r_c), r_c, coarse_iters, c_log)
+    e_c = _smooth_masked(jnp.zeros_like(r_c), r_c, coarse_iters, c_log,
+                         use_pallas)
     q = q + _prolong_padded(e_c, c_log)
-    return jacobi_sweeps_masked(q, b, post, zyx)
+    return _smooth_masked(q, b, post, zyx, use_pallas)
 
 
 def project_padded(fields: jax.Array, pressure: jax.Array, time_step,
@@ -205,9 +245,10 @@ def project_padded(fields: jax.Array, pressure: jax.Array, time_step,
         flds, q = args
         b = divergence_masked(flds, zyx).astype(jnp.float32)
         if use_mg:
-            q = mg_solve_padded(q, b, zyx)
+            q = mg_solve_padded(q, b, zyx, use_pallas=config.use_pallas)
         else:
-            q = jacobi_sweeps_masked(q, b, config.num_pressure_iters, zyx)
+            q = _smooth_masked(q, b, config.num_pressure_iters, zyx,
+                               config.use_pallas)
         vel = subtract_gradient_masked(flds, q, rho, zyx)
         vel = boundary_damp_padded(vel, config).astype(flds.dtype)
         return jnp.concatenate([vel, flds[3:]], axis=0), q

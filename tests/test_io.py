@@ -68,3 +68,87 @@ def test_checkpoint_roundtrip(tmp_path):
     back = load_state(path)
     np.testing.assert_array_equal(np.asarray(back.color), np.asarray(state.color))
     np.testing.assert_array_equal(np.asarray(back.pressure), np.asarray(state.pressure))
+
+
+def test_session_checkpoint_resumes_bit_identical(tmp_path):
+    """A session checkpoint (fluid + frame index + camera + method + pause,
+    engine/checkpoint.py) resumed into a FRESH engine continues the exact
+    frame sequence the original would have produced (VERDICT r4 item 8)."""
+    import dataclasses
+    import jax.numpy as jnp
+    import pytest
+
+    from fluidx12_tpu.core.config import RenderMethod
+    from fluidx12_tpu.engine.checkpoint import load_session, save_session
+    from fluidx12_tpu.engine.fluidx import FluidXEngine
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(32, 32),
+                      max_ray_samples=8, max_light_samples=4,
+                      num_pressure_iters=4, sim_dtype=jnp.float32)
+    a = FluidXEngine(cfg)
+    a.render_method = RenderMethod.RAY_MARCH_DIRECT_SEPARATE
+    a.camera.orbit(17.0, 9.0)
+    for _ in range(4):
+        a.step_frame()
+    path = str(tmp_path / "sess.npz")
+    save_session(path, a)
+
+    b = FluidXEngine(cfg)  # default method/camera: all restored below
+    load_session(path, b)
+    assert b.frame_index == a.frame_index
+    assert b.render_method == a.render_method
+    np.testing.assert_array_equal(b.camera.view, a.camera.view)
+
+    for _ in range(3):
+        img_a = np.asarray(a.step_frame())
+        img_b = np.asarray(b.step_frame())
+        np.testing.assert_array_equal(img_b, img_a)
+
+    # Config-fingerprint mismatch fails up front with a clear message.
+    other = FluidXEngine(dataclasses.replace(cfg, num_pressure_iters=8))
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_session(path, other)
+
+    # State-only archives still load through the session path.
+    state_only = str(tmp_path / "state.npz")
+    save_state(state_only, a.state)
+    c = FluidXEngine(cfg)
+    load_session(state_only, c)
+    np.testing.assert_array_equal(np.asarray(c.state.color),
+                                  np.asarray(a.state.color))
+
+
+def test_session_checkpoint_restores_into_sharded_state(tmp_path):
+    """A saved session restores onto a device mesh: shard the restored
+    state and step the SHARDED pipeline (parallel/domain.py) -- the
+    restore -> shard -> simulate path VERDICT r4 item 8 asked for."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluidx12_tpu.engine.checkpoint import load_session, save_session
+    from fluidx12_tpu.engine.fluidx import FluidXEngine
+    from fluidx12_tpu.parallel.domain import shard_state, sharded_simulate
+    from fluidx12_tpu.parallel.mesh import make_grid_mesh
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(32, 32),
+                      max_ray_samples=8, num_pressure_iters=4,
+                      sim_dtype=jnp.float32)
+    a = FluidXEngine(cfg)
+    for _ in range(3):
+        a.step_frame()
+    path = str(tmp_path / "sess.npz")
+    save_session(path, a)
+
+    b = FluidXEngine(cfg)
+    load_session(path, b)
+    mesh = make_grid_mesh(2)
+    sharded = shard_state(b.state, mesh)
+    out = sharded_simulate(sharded, cfg.time_step, cfg, mesh)
+    ref = np.asarray(a.state.fields)
+    np.testing.assert_array_equal(np.asarray(sharded.fields), ref)
+    assert np.isfinite(np.asarray(out.fields)).all()

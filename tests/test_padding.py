@@ -233,6 +233,51 @@ def test_padded_vs_compact_full_sim_step():
         atol=5e-6)
 
 
+def test_masked_jacobi_kernels_match_xla_twin():
+    """jacobi_pallas with logical_zyx (interpret mode) == the masked XLA
+    sweeps, both kernel forms (whole-window at small planes, plane-sweep at
+    big planes), with poisoned ghosts."""
+    from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas, jacobi_tuning
+    from fluidx12_tpu.sim.padded import jacobi_sweeps_masked
+
+    rng = np.random.default_rng(13)
+    for storage, logical in (((32, 48, 128), (24, 40, 100)),    # whole-window
+                             ((32, 160, 256), (24, 150, 150))):  # plane-sweep
+        q = rng.uniform(-1, 1, storage).astype(np.float32)
+        b = rng.uniform(-1, 1, storage).astype(np.float32)
+        q[logical[0]:] = 9.0   # poisoned ghosts
+        q[:, logical[1]:] = -9.0
+        q[:, :, logical[2]:] = 9.0
+        tuning = jacobi_tuning(storage, 8)
+        assert tuning is not None, storage
+        got = np.asarray(jacobi_pallas(jnp.asarray(q), jnp.asarray(b), 8,
+                                       *tuning, logical_zyx=logical))
+        want = np.asarray(jacobi_sweeps_masked(jnp.asarray(q),
+                                               jnp.asarray(b), 8, logical))
+        lz, ly, lx = logical
+        np.testing.assert_allclose(got[:lz, :ly, :lx], want[:lz, :ly, :lx],
+                                   atol=2e-6, err_msg=str(storage))
+        assert np.isfinite(got).all()
+
+
+def test_padded_ghost_velocity_invariant():
+    """The projection re-zeroes ghost velocity every step (self-healing),
+    so the Pallas tap-tier predicates follow the logical flow; seed the
+    ghosts with garbage and check one simulate() restores the invariant."""
+    from fluidx12_tpu.sim.step import simulate
+
+    cfg = _f32_cfg(grid_size=(96, 96, 96), num_pressure_iters=4)
+    zyx = cfg.zyx
+    fields = pad_to_storage(jnp.asarray(_rand_fields(zyx, seed=9) * 0.3), cfg)
+    fields = fields.at[:3, :, :, zyx[2]:].set(4.5)  # garbage ghost velocity
+    st = FluidState(fields=fields,
+                    pressure=jnp.zeros(fields.shape[-3:], jnp.float32))
+    out = simulate(st, jnp.float32(cfg.time_step), cfg)
+    vel = np.asarray(out.fields[:3])
+    assert (vel[:, :, :, zyx[2]:] == 0).all()   # x ghosts
+    assert (vel[:, :, zyx[1]:, :] == 0).all()   # y ghosts (z==y==96: none pad)
+
+
 def test_padded_faithful_stack_runs():
     """fast_sim=False on a padded grid crops into the faithful advect and
     pads back; shapes round-trip and values stay finite."""

@@ -371,6 +371,66 @@ def test_composite_kernel_matches_xla_chain():
         np.testing.assert_allclose(got, ref, atol=5e-4)
 
 
+def test_composite_resample_kernel_matches_einsum_chain():
+    """FULLY fused march kernel (in-kernel lerp-weight build + MXU resample
+    + running composite; ops/pallas/composite.py) vs the einsum + XLA chain
+    twin it replaces (render/slicecomp._march_face), with matching bf16
+    quantization points, both march directions, and the zero-outside mode
+    (the screencomp enlarged plane)."""
+    import jax.numpy as jnp
+    from fluidx12_tpu.ops.pallas.composite import (
+        composite_resample_pallas, composite_resample_supported)
+    from fluidx12_tpu.render.slicecomp import _interp_weights
+
+    rng = np.random.default_rng(9)
+    ns, a, b, r1, r2 = 8, 128, 128, 16, 128
+    absorption = 0.8
+    volf = jnp.asarray(rng.uniform(0, 1, (4, ns, a, b)).astype(np.float32))
+    # Coords mostly inside, some past the edges (clamp / zero-outside).
+    h_rows = jnp.asarray(
+        rng.uniform(-4.0, a + 3.0, (ns, r1)).astype(np.float32))
+    h_cols = jnp.asarray(
+        rng.uniform(-4.0, b + 3.0, (ns, r2)).astype(np.float32))
+    valid = jnp.asarray((rng.uniform(0, 1, ns) > 0.2).astype(np.float32))
+    nst = jnp.asarray(rng.uniform(0.5, 2, (r1, r2)).astype(np.float32))
+    assert composite_resample_supported(ns, a, b, r1, r2)
+    assert not composite_resample_supported(ns, 120, b, r1, r2)
+    assert not composite_resample_supported(ns, a, b, r1, 120)
+
+    def xla_twin(flip, zero_outside):
+        bf = jnp.bfloat16
+        wr = _interp_weights(h_rows, a, zero_outside=zero_outside).astype(bf)
+        wc = _interp_weights(h_cols, b, zero_outside=zero_outside).astype(bf)
+        t1 = jnp.einsum("mrv,cmvu->cmru", wr, volf.astype(bf),
+                        preferred_element_type=jnp.float32).astype(bf)
+        res = jnp.einsum("msu,cmru->cmrs", wc, t1,
+                         preferred_element_type=jnp.float32).astype(bf)
+        d = jnp.clip(res[0].astype(jnp.float32), 0, 1)
+        a_ref = jnp.clip(d * absorption, 0, 0.999)
+        alpha = jnp.clip(1 - jnp.power(1 - a_ref, nst[None]), 0, 1 - 1e-6)
+        alpha = alpha * valid[:, None, None]
+        one_m = 1 - alpha
+        if not flip:
+            cp = jnp.cumprod(one_m, axis=0)
+            transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], 0)
+        else:
+            cp = jnp.cumprod(one_m[::-1], 0)
+            transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], 0)[::-1]
+        w = alpha * transm
+        w_rate = jnp.where(d > 0, w / jnp.maximum(d, 1e-6), 0)
+        rgb = jnp.einsum("cmrs,mrs->crs", res[1:4].astype(jnp.float32), w_rate)
+        return jnp.concatenate([w.sum(0)[None], rgb], 0)
+
+    for flip in (False, True):
+        for zo in (False, True):
+            ref = np.asarray(xla_twin(flip, zo))
+            got = np.asarray(composite_resample_pallas(
+                volf, h_rows, h_cols, valid, nst, absorption, flip,
+                zero_outside=zo))
+            np.testing.assert_allclose(got, ref, atol=2e-3,
+                                       err_msg=f"flip={flip} zo={zo}")
+
+
 def test_jacobi2d_kernel_matches_xla():
     """Whole-plane 2D Jacobi kernel (interpret mode) vs the XLA sweeps."""
     import jax.numpy as jnp

@@ -100,7 +100,9 @@ def _resample_weights(h, n_src: int, zero_outside: bool, tile: int):
     (T, n_src) bf16 row weights.  Bit-matches render/slicecomp.
     _interp_weights (same clamp, floor, one-hot sums; edge texels where
     i0 == i1 accumulate (1-f)+f = 1)."""
-    ids = jax.lax.broadcasted_iota(jnp.float32, (tile, n_src), 1)
+    # int32 iota + cast: tpu.iota only exists for integer element types.
+    ids = jax.lax.broadcasted_iota(
+        jnp.int32, (tile, n_src), 1).astype(jnp.float32)
     c = jnp.clip(h, 0.0, n_src - 1.0)
     i0 = jnp.floor(c)
     frac = c - i0

@@ -503,3 +503,48 @@ def test_sharded_solve_exchange_counts():
     # mg: 1 (pre + residual, fresh ring) + 3 (coarse, k = 11) + 1 (prolong)
     # + 1 (post) = 6.
     assert count(lambda q, d: _sharded_mg(q, d), (256, 16, 128)) <= 2 * 6
+
+
+def test_windowed_pallas_kernel_under_shard_map():
+    """A windowed Pallas kernel traced INSIDE shard_map sees the per-device
+    LOCAL shape: its plan/gate logic (_plan_planewise / _plan halo
+    alignment) must hold at that shape, not the global one (VERDICT r4
+    item 7).  Two independent per-shard Jacobi problems relaxed by
+    jacobi_pallas (interpret mode) inside shard_map must match the XLA
+    sweeps run per shard outside.  Kept to one short dispatch (CPU
+    rendezvous budget, CLAUDE.md)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fluidx12_tpu.ops.pallas.jacobi import jacobi_pallas, jacobi_tuning
+    from fluidx12_tpu.sim.project import jacobi_sweeps
+
+    mesh = make_grid_mesh(2)
+    rng = np.random.default_rng(21)
+    # Global (64, 32, 128): each of 2 Z-shards sees LOCAL (32, 32, 128) --
+    # a shape whose whole-window plan differs from the global one.
+    q = jnp.asarray(rng.uniform(-1, 1, (64, 32, 128)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (64, 32, 128)).astype(np.float32))
+    local_shape = (32, 32, 128)
+    tuning = jacobi_tuning(local_shape, 8)
+    assert tuning is not None
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P("z"), P("z")),
+             out_specs=P("z"), check_rep=False)
+    def relax_local(ql, bl):
+        assert ql.shape == local_shape  # the kernel plans at the LOCAL shape
+        return jacobi_pallas(ql, bl, 8, *tuning)
+
+    got = np.asarray(relax_local(q, b))
+    for s in range(2):
+        ref = np.asarray(jacobi_sweeps(q[32 * s:32 * (s + 1)],
+                                       b[32 * s:32 * (s + 1)], 8, True))
+        np.testing.assert_allclose(got[32 * s:32 * (s + 1)], ref, atol=2e-6)
+
+    # Gate sanity at sharded shapes: a local shard too thin for any window
+    # plan must be rejected (the fallback path), not mis-planned.
+    assert jacobi_tuning((4, 32, 128), 8) is None
+    assert jacobi_tuning((32, 32, 120), 8) is None  # lane misalignment

@@ -92,15 +92,17 @@ class SceneParams(NamedTuple):
     visibility_mask: jax.Array    # () i32 bitmask of visible cube faces (bit f = face f)
 
 
-def make_initial_state(config: FluidConfig) -> FluidState:
+def make_initial_state(config: FluidConfig, pad: bool = True) -> FluidState:
     """All-zero fields, like freshly created D3D12 committed resources.
 
     Non-roll-clean grids (the FluidGI 150^3 preset) allocate the padded
     storage layout (core/padding.py): the logical volume sits at the origin
-    of a roll-clean (Zp, Yp, Xp) array so every Pallas kernel tiles it."""
+    of a roll-clean (Zp, Yp, Xp) array so every Pallas kernel tiles it.
+    pad=False forces the compact logical layout (the multi-chip Z-slab
+    decomposition defines its own layout; parallel/domain.shard_state)."""
     from fluidx12_tpu.core.padding import storage_zyx
 
-    z, y, x = storage_zyx(config)
+    z, y, x = storage_zyx(config) if pad else config.zyx
     dt = config.sim_dtype
     return FluidState(
         fields=jnp.zeros((7, z, y, x), dtype=dt),

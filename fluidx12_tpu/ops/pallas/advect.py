@@ -37,6 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_DISP = 12  # voxels; keep in sync with sim/advect_fast.MAX_DISP
 
+# Calm-tier weight-cache dtype (fused x+y kernel): f32.  bf16 was measured
+# as the round-5 VPU experiment -- see CLAUDE.md round-5 notes.
+_WCACHE_DTYPE = jnp.float32
+
 
 # Blocks whose displacements all fit this many voxels take the short tap
 # path (see _pass_kernel); most of the volume is quiescent -- the plume is
@@ -415,7 +419,8 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
                                   ghost_zero=bool(nx_log))
         dx_ref[...] = dx
         for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
-            wx_ref[t] = jnp.maximum(1.0 - jnp.abs(dx - float(a)), 0.0)
+            wx_ref[t] = jnp.maximum(1.0 - jnp.abs(dx - float(a)),
+                                    0.0).astype(wx_ref.dtype)
 
     dx = dx_ref[...]
     mx = jnp.max(jnp.abs(dx))
@@ -440,7 +445,7 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
         out = None
         for t in range(t_lo, t_hi + 1):
             a = t - _CALM_DISP
-            term = pltpu.roll(src, (n - a) % n, axis) * w_ref[t]
+            term = pltpu.roll(src, (n - a) % n, axis) * w_ref[t].astype(f32)
             out = term if out is None else out + term
         return out
 
@@ -483,7 +488,8 @@ def _pass_kernel_fused_xy(vol_ref, dsrc_ref, sx_ref, sy_ref, out_ref,
                                   ghost_zero=bool(ny_log))
         dy_ref[...] = dy
         for t, a in enumerate(range(-_CALM_DISP, _CALM_DISP + 2)):
-            wy_ref[t] = jnp.maximum(1.0 - jnp.abs(dy - float(a)), 0.0)
+            wy_ref[t] = jnp.maximum(1.0 - jnp.abs(dy - float(a)),
+                                    0.0).astype(wy_ref.dtype)
 
     dy = dy_ref[...]
     my = jnp.max(jnp.abs(dy))
@@ -568,8 +574,8 @@ def _run_pass_fused_xy(vol: jax.Array, interpret: bool,
             pltpu.VMEM((slab, ny, nx), jnp.float32),   # dy
             # Calm-tier tap weights, cached across the channel-innermost
             # grid steps (computed once at ci == 0 per z step).
-            pltpu.VMEM((2 * _CALM_DISP + 2, slab, ny, nx), jnp.float32),
-            pltpu.VMEM((2 * _CALM_DISP + 2, slab, ny, nx), jnp.float32),
+            pltpu.VMEM((2 * _CALM_DISP + 2, slab, ny, nx), _WCACHE_DTYPE),
+            pltpu.VMEM((2 * _CALM_DISP + 2, slab, ny, nx), _WCACHE_DTYPE),
         ],
         interpret=interpret,
     )(vol, vol, sx, sy)

@@ -33,8 +33,21 @@ from fluidx12_tpu.parallel.mesh import Z_AXIS
 ADVECT_HALO = 4  # z-slabs exchanged for the semi-Lagrangian backtrace
 
 
-def shard_state(state: FluidState, mesh: Mesh) -> FluidState:
-    """Place the state with Z sharded across the mesh."""
+def shard_state(state: FluidState, mesh: Mesh,
+                config: FluidConfig = None) -> FluidState:
+    """Place the state with Z sharded across the mesh.
+
+    Pass `config` when the state may carry the single-chip padded storage
+    layout (core/padding.py, e.g. a restored 150^3 checkpoint): the
+    Z-slab decomposition defines its own layout, so padded states are
+    cropped to the logical volume first."""
+    if config is not None:
+        from fluidx12_tpu.core.padding import crop_to_logical, is_padded
+
+        if is_padded(state.fields, config):
+            state = FluidState(
+                fields=crop_to_logical(state.fields, config),
+                pressure=crop_to_logical(state.pressure, config))
     s4 = NamedSharding(mesh, P(None, Z_AXIS, None, None))
     s3 = NamedSharding(mesh, P(Z_AXIS, None, None))
     return FluidState(

@@ -95,22 +95,29 @@ def _pick_tile(r_rows: int, r_cols: int, bs: int):
     return tr, tc
 
 
-def _resample_weights(h, n_src: int, zero_outside: bool, tile: int):
+def _resample_weights(h, n_src: int, zero_outside: bool, tile: int,
+                      n_log: int = 0):
     """In-kernel dense lerp-weight build: h (T, 1) f32 source coords ->
     (T, n_src) bf16 row weights.  Bit-matches render/slicecomp.
     _interp_weights (same clamp, floor, one-hot sums; edge texels where
-    i0 == i1 accumulate (1-f)+f = 1)."""
+    i0 == i1 accumulate (1-f)+f = 1).
+
+    `n_log`: LOGICAL extent when the source rides the padded storage
+    layout (core/padding.py) -- coords clamp at the logical edge while the
+    one-hot columns span the padded width, so ghost columns never carry
+    weight (0 = compact, clamp at n_src)."""
+    lim = float((n_log or n_src) - 1)
     # int32 iota + cast: tpu.iota only exists for integer element types.
     ids = jax.lax.broadcasted_iota(
         jnp.int32, (tile, n_src), 1).astype(jnp.float32)
-    c = jnp.clip(h, 0.0, n_src - 1.0)
+    c = jnp.clip(h, 0.0, lim)
     i0 = jnp.floor(c)
     frac = c - i0
-    i1 = jnp.minimum(i0 + 1.0, n_src - 1.0)
+    i1 = jnp.minimum(i0 + 1.0, lim)
     w = ((ids == i0).astype(jnp.float32) * (1.0 - frac)
          + (ids == i1).astype(jnp.float32) * frac)
     if zero_outside:
-        inside = (h >= -0.5) & (h <= n_src - 0.5)
+        inside = (h >= -0.5) & (h <= lim + 0.5)
         w = w * inside.astype(jnp.float32)
     return w.astype(jnp.bfloat16)
 
@@ -119,7 +126,8 @@ def _composite_resample_kernel(vol_ref, hr_ref, hc_ref, valid_ref,
                                nsteps_ref, out_ref, t_scr, rgb_scr, a_scr, *,
                                absorption: float, flip: bool, n_s: int,
                                tr: int, r2: int, a_dim: int, b_dim: int,
-                               zero_outside: bool):
+                               zero_outside: bool, a_log: int = 0,
+                               b_log: int = 0):
     """One (row-tile, slice) step: resample the slice IN-KERNEL (two MXU
     dots against one-hot lerp weights built from the coordinate vectors)
     and fold it straight into the running composite -- the (4, n_s, R1, R2)
@@ -143,8 +151,8 @@ def _composite_resample_kernel(vol_ref, hr_ref, hc_ref, valid_ref,
               == sl).astype(jnp.float32)
     hr = jnp.sum(hr_ref[...] * onehot, axis=1, keepdims=True)   # (tr, 1)
     hc = jnp.sum(hc_ref[...] * onehot, axis=1, keepdims=True)   # (R2, 1)
-    w_r = _resample_weights(hr, a_dim, zero_outside, tr)        # (tr, A)
-    w_c = _resample_weights(hc, b_dim, zero_outside, r2)        # (R2, B)
+    w_r = _resample_weights(hr, a_dim, zero_outside, tr, a_log)  # (tr, A)
+    w_c = _resample_weights(hc, b_dim, zero_outside, r2, b_log)  # (R2, B)
 
     res = []
     for c in range(4):
@@ -207,15 +215,27 @@ def _pick_rows_tile(r1: int, r2: int, a: int, b: int, n_s: int):
         tr //= 2
     if budget(tr) > 12 * 1024 * 1024:
         return None
+    if tr != r1 and tr % 8:
+        # Row-tiled blocks need 8-sublane alignment; the full-plane tile
+        # (tr == r1) is exempt ("block equal to the array dim").
+        return None
     return tr
 
 
 def composite_resample_supported(n_s: int, a: int, b: int,
                                  r1: int, r2: int) -> bool:
-    """Gate for composite_resample_pallas: the weight/dot lane dims (A, B,
-    R2) must be 128-multiples, row tiles 8-multiples, and a row tile must
-    fit the VMEM budget."""
-    if a % 128 or b % 128 or r2 % 128 or r1 % 8 or n_s < 2:
+    """Gate for composite_resample_pallas.
+
+    The lateral VMEM block dims are always the FULL array dims, which
+    Mosaic exempts from the (8, 128) divisibility rule, and non-aligned
+    lane dims in kernel VALUES (r2 = 150, b = 160 etc.) are legal, just
+    tile-padded.  The a % 8 / b % 16 floor matches what actually flows
+    here -- padded storage layouts (core/padding.py: Z/Y round to 16, X to
+    128) and roll-clean compact grids -- and keeps wilder shapes on the
+    measured einsum twin.  The OUTPUT plane dims are unconstrained when
+    the row tile is the full plane; row-TILED plans additionally need
+    r1-divisor tiles that are 8-multiples (handled in _pick_rows_tile)."""
+    if a % 8 or b % 16 or n_s < 2:
         return False
     return _pick_rows_tile(r1, r2, a, b, n_s) is not None
 
@@ -223,8 +243,8 @@ def composite_resample_supported(n_s: int, a: int, b: int,
 def composite_resample_pallas(volf: jax.Array, h_rows: jax.Array,
                               h_cols: jax.Array, valid: jax.Array,
                               n_steps: jax.Array, absorption: float,
-                              flip: bool,
-                              zero_outside: bool = False) -> jax.Array:
+                              flip: bool, zero_outside: bool = False,
+                              a_log: int = 0, b_log: int = 0) -> jax.Array:
     """Fused per-slice resample + front-to-back composite.
 
     volf (4, n_s, A, B) bf16 axis-major volume; h_rows (n_s, R1) f32 source
@@ -232,7 +252,11 @@ def composite_resample_pallas(volf: jax.Array, h_rows: jax.Array,
     0/1 per-slice mask; n_steps (R1, R2) f32.  Returns (4, R1, R2) f32:
     channel 0 accumulated alpha, 1:4 rgb (pre 1/2pi).  HBM traffic is one
     volume read per row tile + the coordinate vectors -- neither the lerp
-    weight matrices nor the resampled stack ever exist in HBM."""
+    weight matrices nor the resampled stack ever exist in HBM.
+
+    a_log/b_log: logical lateral extents when volf rides the padded
+    storage layout (core/padding.py) -- weights clamp at the logical edge
+    and ghost columns never carry weight (0 = compact)."""
     _, n_s, a_dim, b_dim = volf.shape
     r1 = h_rows.shape[1]
     r2 = h_cols.shape[1]
@@ -250,7 +274,7 @@ def composite_resample_pallas(volf: jax.Array, h_rows: jax.Array,
         functools.partial(
             _composite_resample_kernel, absorption=absorption, flip=flip,
             n_s=n_s, tr=tr, r2=r2, a_dim=a_dim, b_dim=b_dim,
-            zero_outside=zero_outside),
+            zero_outside=zero_outside, a_log=a_log, b_log=b_log),
         interpret=(jax.default_backend() == "cpu"),
         out_shape=jax.ShapeDtypeStruct((4, r1, r2), jnp.float32),
         grid=(r1 // tr, n_s),

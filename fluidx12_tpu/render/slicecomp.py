@@ -54,6 +54,11 @@ _FACES = [
 
 _EPS_ALPHA = 1e-6
 
+# Test hook: force the fused march kernel on CPU (interpret mode) so the
+# padded-march plumbing can be cross-checked end-to-end off-hardware
+# (tests/test_padding.py); production gates stay TPU-only.
+_FUSED_ON_CPU = False
+
 
 def _mxu16():
     """Half-precision matmul dtype: bf16 on TPU (2x MXU, half HBM), f32 on
@@ -126,15 +131,21 @@ def _axis_volume(vol: jax.Array, axis: int, config: FluidConfig,
     n_s = n_m // stride
     mx = _mxu16()
     v16 = vol.astype(mx)  # no-op when the caller already cast (one shared cast)
+    # Padded storage layout (core/padding.py): the slice axis pools over
+    # the LOGICAL extent only (leading-dim crop is free for Z; the pooling
+    # matrices' ghost rows stay zero for X/Y); the LATERAL dims stay padded
+    # -- the fused march kernel addresses them through logical-clamped
+    # coordinates and zero ghost color.
+    n_march_arr = v16.shape[_ARR_AXIS[axis]]
     if axis == 2 and stride == 1:  # marching axis is already array dim 1
-        return v16
+        return v16[:, :n_m] if n_march_arr != n_m else v16
     if axis == 2 and n_s * stride == n_m:
         # Marching axis is the leading array dim: box-pool it with a pure
         # leading-dim reshape (no (8,128) tile relayout; measured slightly
         # ahead of the pooling matmul at 256^3).
-        return (v16.reshape(4, n_s, stride, *v16.shape[2:])
+        return (v16[:, :n_m].reshape(4, n_s, stride, *v16.shape[2:])
                 .astype(jnp.float32).mean(axis=2).astype(mx))
-    pool = jnp.zeros((n_m, n_s), mx).at[
+    pool = jnp.zeros((n_march_arr, n_s), mx).at[
         jnp.arange(n_s * stride), jnp.repeat(jnp.arange(n_s), stride)
     ].set(1.0 / stride)
     # f32 accumulation + cast: measured FASTER than asking the dot for bf16
@@ -263,10 +274,18 @@ def _march_face(
     r_rows = r_u if rem_local[0] == ua else r_v
     r_cols = r_u if rem_local[1] == ua else r_v
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu" or _FUSED_ON_CPU
     unsharded = (not partial and psum_axis is None and slice_start is None
                  and row_start is None)
     big = n_s * r_rows * r_cols >= 4 * 1024 * 1024
+    # Lateral extents of volf may exceed the logical grid (padded storage
+    # layout, core/padding.py): the fused kernel addresses them through
+    # logical-clamped coordinates (ghost color is exactly zero), so padded
+    # faces ALWAYS prefer the kernel -- the alternative is the XLA twin on
+    # non-roll-clean shapes, the very fallback the padding exists to avoid.
+    a_log = sizes[rem_local[0]]
+    b_log = sizes[rem_local[1]]
+    pad_lat = volf.shape[2] != a_log or volf.shape[3] != b_log
 
     # FULLY fused march (ops/pallas/composite.py::composite_resample_pallas):
     # the per-slice resample runs on the MXU inside the compositor kernel,
@@ -275,7 +294,7 @@ def _march_face(
     # gap at 256^3 (VERDICT r4 item 2).  Sharded variants and unaligned
     # shapes keep the einsum + XLA chain, which is also the cross-check twin
     # (tests/test_pallas.py).
-    if config.use_pallas and on_tpu and unsharded and big:
+    if config.use_pallas and on_tpu and unsharded and (big or pad_lat):
         from fluidx12_tpu.ops.pallas.composite import (
             composite_resample_pallas,
             composite_resample_supported,
@@ -288,7 +307,9 @@ def _march_face(
             acc = composite_resample_pallas(
                 volf, h_rows, h_cols, valid.astype(jnp.float32),
                 n_steps.astype(jnp.float32), float(config.absorption),
-                flip=sign < 0, zero_outside=outside)
+                flip=sign < 0, zero_outside=outside,
+                a_log=a_log if volf.shape[2] != a_log else 0,
+                b_log=b_log if volf.shape[3] != b_log else 0)
             out_rgb = jnp.moveaxis(acc[1:], 0, -1)
             scatter = jnp.concatenate(
                 [out_rgb / (2.0 * jnp.pi), acc[0][..., None]],
@@ -296,6 +317,12 @@ def _march_face(
             if swapped:
                 scatter = jnp.swapaxes(scatter, 0, 1)
             return scatter
+
+    if pad_lat:
+        # Fused kernel unavailable: the einsum twin's weights are sized to
+        # the logical extents, so crop the padded lateral dims (a relayout
+        # copy; correctness fallback only).
+        volf = volf[:, :, :a_log, :b_log]
 
     w_rows = w_for(rem_local[0])  # resamples volf dim 2
     w_cols = w_for(rem_local[1])  # resamples volf dim 3
@@ -425,6 +452,40 @@ def ray_march_cube_fast(
 
     live = [f for f in range(6)
             if static_mask is None or (static_mask >> f) & 1]
+
+    # Non-roll-clean grids (the FluidGI 150^3 preset): re-pad the marching
+    # volume to the storage layout (core/padding.py) so the FULLY fused
+    # march kernel runs -- its in-kernel coordinates clamp at the logical
+    # extents and the pad's ghost color is exactly zero, so the output
+    # matches the compact einsum twin; the pad itself is one cheap zero
+    # fill vs the XLA twin's relayout-crawling einsums at 150 lanes
+    # (measured 5.7 ms -> kernel at 150^3).  Only taken when every live
+    # axis' fused gate holds at the padded lateral dims.
+    if (config.use_pallas
+            and (jax.default_backend() == "tpu" or _FUSED_ON_CPU)
+            and config.is_3d):
+        from fluidx12_tpu.core.padding import pad_to_storage, storage_zyx
+        from fluidx12_tpu.ops.pallas.composite import (
+            composite_resample_supported,
+        )
+
+        storage = storage_zyx(config)
+        if tuple(storage) != tuple(config.zyx):
+            R = max(config.cube_map_size >> lod, 1)
+            lat = {0: (storage[0], storage[1]),   # X faces: lateral (Z, Y)
+                   1: (storage[0], storage[2]),   # Y faces: lateral (Z, X)
+                   2: (storage[1], storage[2])}   # Z faces: lateral (Y, X)
+            cap = max(config.max_ray_samples >> lod, 1)
+
+            def axis_ok(axis):
+                n_m = config.grid_size[axis]
+                n_s = n_m // max(-(-n_m // cap), 1)
+                a, b = lat[axis]
+                return composite_resample_supported(n_s, a, b, R, R)
+
+            if all(axis_ok(_FACES[f][0]) for f in live):
+                vol = pad_to_storage(vol, config)
+
     # One slice-axis-major volume per axis, shared by its +/- face pair
     # (the relayout dominates the march at large grids; see _axis_volume).
     volaxes = {axis: _axis_volume(vol, axis, config, lod)

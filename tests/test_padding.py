@@ -278,6 +278,41 @@ def test_padded_ghost_velocity_invariant():
     assert (vel[:, :, zyx[1]:, :] == 0).all()   # y ghosts (z==y==96: none pad)
 
 
+def test_padded_march_matches_cropped_twin(monkeypatch):
+    """The padded-volume fused march (ray_march_cube_fast re-pads the
+    grid so composite_resample_pallas runs with logical-clamped coords
+    and zero ghost color) == the compact einsum-chain march on the
+    cropped grid.  Forced on CPU via the _FUSED_ON_CPU interpret hook."""
+    import fluidx12_tpu.render.slicecomp as sc
+    from fluidx12_tpu.core.state import default_scene_params
+    from fluidx12_tpu.core import math3d as m3
+    from fluidx12_tpu.core.camera import OrbitCamera
+
+    cfg = _f32_cfg(grid_size=(96, 96, 96), max_ray_samples=24,
+                   max_light_samples=4)
+    zyx = cfg.zyx
+    rng = np.random.default_rng(23)
+    grid = jnp.asarray(rng.uniform(0, 0.7, (4,) + zyx).astype(np.float32))
+    lm = jnp.asarray(rng.uniform(0.1, 1.0, zyx).astype(np.float32))
+
+    camera = OrbitCamera(width=64, height=64)
+    world = m3.scaling(cfg.volume_scale)
+    wvp = world @ camera.view_proj
+    params = default_scene_params(cfg)._replace(
+        eye_pt=jnp.asarray(camera.eye), world=jnp.asarray(world),
+        world_i=jnp.asarray(m3.inverse(world)),
+        world_view_proj=jnp.asarray(wvp),
+        world_view_proj_i=jnp.asarray(m3.inverse(wvp)),
+        screen_to_world=jnp.asarray(m3.inverse(camera.view_proj)))
+
+    ref = np.asarray(sc.ray_march_cube_fast(grid, params, cfg, lm))
+    monkeypatch.setattr(sc, "_FUSED_ON_CPU", True)
+    got = np.asarray(sc.ray_march_cube_fast(grid, params, cfg, lm))
+    assert got.shape == ref.shape == (6, 96, 96, 4)
+    np.testing.assert_allclose(got, ref, atol=2e-2)  # 8-bit-quantized cube
+    assert np.isfinite(got).all()
+
+
 def test_padded_faithful_stack_runs():
     """fast_sim=False on a padded grid crops into the faithful advect and
     pads back; shapes round-trip and values stay finite."""

@@ -394,8 +394,9 @@ def test_composite_resample_kernel_matches_einsum_chain():
     valid = jnp.asarray((rng.uniform(0, 1, ns) > 0.2).astype(np.float32))
     nst = jnp.asarray(rng.uniform(0.5, 2, (r1, r2)).astype(np.float32))
     assert composite_resample_supported(ns, a, b, r1, r2)
-    assert not composite_resample_supported(ns, 120, b, r1, r2)
-    assert not composite_resample_supported(ns, a, b, r1, 120)
+    assert composite_resample_supported(ns, 160, 160, r1, r2)  # padded lat
+    assert not composite_resample_supported(ns, 124, b, r1, r2)  # a % 8
+    assert not composite_resample_supported(ns, a, 150, r1, r2)  # b % 16
 
     def xla_twin(flip, zero_outside):
         bf = jnp.bfloat16
@@ -429,6 +430,59 @@ def test_composite_resample_kernel_matches_einsum_chain():
                 zero_outside=zo))
             np.testing.assert_allclose(got, ref, atol=2e-3,
                                        err_msg=f"flip={flip} zo={zo}")
+
+
+def test_composite_resample_kernel_padded_lateral():
+    """The fused march kernel on a PADDED-lateral volume (a_log/b_log,
+    core/padding.py layout) == the einsum twin on the CROPPED volume with
+    logical-edge clamps; poisoned ghost texels never contribute.  The
+    output plane is intentionally NOT 128-lane aligned (r2 = 72): padded
+    grids' cube faces are logical-sized (150^2 at the FluidGI preset)."""
+    import jax.numpy as jnp
+    from fluidx12_tpu.ops.pallas.composite import (
+        composite_resample_pallas, composite_resample_supported)
+    from fluidx12_tpu.render.slicecomp import _interp_weights
+
+    rng = np.random.default_rng(17)
+    ns, a, b = 6, 16, 128
+    a_log, b_log = 13, 100
+    r1, r2 = 24, 72
+    absorption = 0.7
+    volf = rng.uniform(0, 1, (4, ns, a, b)).astype(np.float32)
+    volf[:, :, a_log:, :] = 7.0   # poisoned ghosts
+    volf[:, :, :, b_log:] = -7.0
+    volf = jnp.asarray(volf)
+    h_rows = jnp.asarray(
+        rng.uniform(-2.0, a_log + 2.0, (ns, r1)).astype(np.float32))
+    h_cols = jnp.asarray(
+        rng.uniform(-2.0, b_log + 2.0, (ns, r2)).astype(np.float32))
+    valid = jnp.ones((ns,), jnp.float32)
+    nst = jnp.asarray(rng.uniform(0.5, 2, (r1, r2)).astype(np.float32))
+    assert composite_resample_supported(ns, a, b, r1, r2)
+
+    bf = jnp.bfloat16
+    crop = volf[:, :, :a_log, :b_log].astype(bf)
+    wr = _interp_weights(h_rows, a_log).astype(bf)
+    wc = _interp_weights(h_cols, b_log).astype(bf)
+    t1 = jnp.einsum("mrv,cmvu->cmru", wr, crop,
+                    preferred_element_type=jnp.float32).astype(bf)
+    res = jnp.einsum("msu,cmru->cmrs", wc, t1,
+                     preferred_element_type=jnp.float32).astype(bf)
+    d = jnp.clip(res[0].astype(jnp.float32), 0, 1)
+    a_ref = jnp.clip(d * absorption, 0, 0.999)
+    alpha = jnp.clip(1 - jnp.power(1 - a_ref, nst[None]), 0, 1 - 1e-6)
+    cp = jnp.cumprod(1 - alpha, axis=0)
+    transm = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], 0)
+    w = alpha * transm
+    w_rate = jnp.where(d > 0, w / jnp.maximum(d, 1e-6), 0)
+    rgb = jnp.einsum("cmrs,mrs->crs", res[1:4].astype(jnp.float32), w_rate)
+    ref = np.asarray(jnp.concatenate([w.sum(0)[None], rgb], 0))
+
+    got = np.asarray(composite_resample_pallas(
+        volf, h_rows, h_cols, valid, nst, absorption, flip=False,
+        a_log=a_log, b_log=b_log))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    assert np.isfinite(got).all()
 
 
 def test_jacobi2d_kernel_matches_xla():

@@ -59,6 +59,17 @@ _EPS_ALPHA = 1e-6
 # (tests/test_padding.py); production gates stay TPU-only.
 _FUSED_ON_CPU = False
 
+# Stack-size floor (slices x rows x cols) for the fused march kernel on
+# roll-clean grids.  The round-4 "XLA chain wins at 128^3" verdict was
+# about the WEAKER pre-materialized-stack compositor; the FULLY fused
+# kernel (in-kernel weights + MXU resample) removes so much more traffic
+# that it wins there too -- measured on TPU 2026-08-19: headline 305.5
+# (kernel ON at 128^3's 2.1M stacks) vs 225.8 steps/s (XLA chain).
+# Below ~1M (96^3 and smaller roll-clean grids) stacks are too small to
+# have been measured; they keep the XLA chain (padded layouts engage the
+# kernel regardless via pad_lat -- their fallback is far worse).
+_FUSE_MIN_STACK = 1024 * 1024
+
 
 def _mxu16():
     """Half-precision matmul dtype: bf16 on TPU (2x MXU, half HBM), f32 on
@@ -277,7 +288,7 @@ def _march_face(
     on_tpu = jax.default_backend() == "tpu" or _FUSED_ON_CPU
     unsharded = (not partial and psum_axis is None and slice_start is None
                  and row_start is None)
-    big = n_s * r_rows * r_cols >= 4 * 1024 * 1024
+    big = n_s * r_rows * r_cols >= _FUSE_MIN_STACK
     # Lateral extents of volf may exceed the logical grid (padded storage
     # layout, core/padding.py): the fused kernel addresses them through
     # logical-clamped coordinates (ghost color is exactly zero), so padded

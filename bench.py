@@ -311,6 +311,11 @@ def run_config_suite():
          RenderMethod.RAY_MARCH_DIRECT_MERGED, None, 60, 60),
         ("Fluid3D 128^3 @1080p", FluidConfig(viewport=(1920, 1080)),
          RenderMethod.RAY_MARCH_SEPARATE, None, 40, 40),
+        # The direct screen-space warp at 1080p (VERDICT r4 item 10): the
+        # base-plane march rides the fully fused kernel; the warp gather is
+        # the per-row-cost floor (CLAUDE.md row-gather model).
+        ("Fluid3D 128^3 direct @1080p", FluidConfig(viewport=(1920, 1080)),
+         RenderMethod.RAY_MARCH_DIRECT_SEPARATE, None, 40, 40),
         ("Fluid3D 256^3 separate cube", FluidConfig(grid_size=(256, 256, 256)),
          RenderMethod.RAY_MARCH_SEPARATE, None, 30, 30),
         # The reference's FluidGI.bat preset verbatim: 150^3 is NOT a

@@ -223,6 +223,34 @@ def ray_cast_direct_fast(
     vol = jnp.concatenate([dens, prod], axis=0).astype(_mxu16())
 
     axis = _FACES[spec.face_id][0]
+    # Non-roll-clean grids: re-pad the marching volume so the base-plane
+    # march rides the fully fused kernel with logical-clamped coordinates
+    # (same move as ray_march_cube_fast; ghost color is exactly zero).
+    from fluidx12_tpu.render.slicecomp import _FUSED_ON_CPU
+
+    if (config.use_pallas
+            and (jax.default_backend() == "tpu" or _FUSED_ON_CPU)
+            and config.is_3d):
+        from fluidx12_tpu.core.padding import pad_to_storage, storage_zyx
+        from fluidx12_tpu.ops.pallas.composite import (
+            composite_resample_supported,
+        )
+
+        storage = storage_zyx(config)
+        if tuple(storage) != tuple(config.zyx):
+            lat = {0: (storage[0], storage[1]),
+                   1: (storage[0], storage[2]),
+                   2: (storage[1], storage[2])}[axis]
+            n_m = config.grid_size[axis]
+            n_s = n_m // max(-(-n_m // max(config.max_ray_samples, 1)), 1)
+            # rows/cols assignment depends on the face's lateral order
+            # (_march_face's `swapped`); require both orientations.
+            if (composite_resample_supported(n_s, lat[0], lat[1],
+                                             spec.res[1], spec.res[0])
+                    and composite_resample_supported(n_s, lat[0], lat[1],
+                                                     spec.res[0], spec.res[1])):
+                vol = pad_to_storage(vol, config)
+
     volf = _axis_volume(vol, axis, config, lod=0)
     img = _march_face(spec.face_id, volf, local_eye, num_samples, config,
                       dtype, lod=0, extent=spec.extent, res=spec.res)

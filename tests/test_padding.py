@@ -313,6 +313,48 @@ def test_padded_march_matches_cropped_twin(monkeypatch):
     assert np.isfinite(got).all()
 
 
+def test_padded_direct_march_matches_cropped_twin(monkeypatch):
+    """The DIRECT shear-warp on a padded grid (screencomp pads the base
+    plane's marching volume for the fused kernel) == the compact einsum
+    twin, via the _FUSED_ON_CPU interpret hook."""
+    import fluidx12_tpu.render.slicecomp as sc
+    from fluidx12_tpu.core import math3d as m3
+    from fluidx12_tpu.core.camera import OrbitCamera
+    from fluidx12_tpu.core.state import default_scene_params
+    from fluidx12_tpu.render.screencomp import (
+        direct_plane_spec,
+        ray_cast_direct_fast,
+    )
+
+    cfg = _f32_cfg(grid_size=(96, 96, 96), viewport=(64, 64),
+                   max_ray_samples=24, max_light_samples=4)
+    zyx = cfg.zyx
+    rng = np.random.default_rng(29)
+    grid = jnp.asarray(rng.uniform(0, 0.7, (4,) + zyx).astype(np.float32))
+    lm = jnp.asarray(rng.uniform(0.1, 1.0, zyx).astype(np.float32))
+
+    camera = OrbitCamera(width=64, height=64)
+    world = m3.scaling(cfg.volume_scale)
+    wvp = world @ camera.view_proj
+    params = default_scene_params(cfg)._replace(
+        eye_pt=jnp.asarray(camera.eye), world=jnp.asarray(world),
+        world_i=jnp.asarray(m3.inverse(world)),
+        world_view_proj=jnp.asarray(wvp),
+        world_view_proj_i=jnp.asarray(m3.inverse(wvp)),
+        screen_to_world=jnp.asarray(m3.inverse(camera.view_proj)))
+    local_eye = (np.append(np.asarray(camera.eye, np.float64), 1.0)
+                 @ np.asarray(m3.inverse(world), np.float64))[:3]
+    spec = direct_plane_spec(local_eye, wvp, cfg.viewport, cfg)
+    assert spec is not None
+    num = jnp.int32(cfg.max_ray_samples)
+
+    ref = np.asarray(ray_cast_direct_fast(grid, params, cfg, lm, spec, num))
+    monkeypatch.setattr(sc, "_FUSED_ON_CPU", True)
+    got = np.asarray(ray_cast_direct_fast(grid, params, cfg, lm, spec, num))
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+    assert np.isfinite(got).all()
+
+
 def test_padded_faithful_stack_runs():
     """fast_sim=False on a padded grid crops into the faithful advect and
     pads back; shapes round-trip and values stay finite."""

@@ -29,13 +29,16 @@ def shift_lane_clamped(q, offset, hi=None):
     return jnp.where(ids == 0, q, rolled)
 
 
-def shift_sublane_clamped(q, offset):
-    """Edge-clamped +-1 shift along the sublane axis (full-height Y)."""
+def shift_sublane_clamped(q, offset, hi=None):
+    """Edge-clamped +-1 shift along the sublane axis (full-height Y).
+
+    `hi` moves the +edge clamp to the LOGICAL sublane count on padded
+    storage layouts, exactly like shift_lane_clamped's `hi`."""
     n = q.shape[-2]
     rolled = pltpu.roll(q, (n - offset) % n, q.ndim - 2)
     ids = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 2)
     if offset > 0:
-        return jnp.where(ids == n - 1, q, rolled)
+        return jnp.where(ids == (n if hi is None else hi) - 1, q, rolled)
     return jnp.where(ids == 0, q, rolled)
 
 

@@ -54,23 +54,29 @@ def _z_neighbors(c, prev, nxt, bz, nz, z0=None):
     return zm, zp
 
 
-def _div_kernel(ux_ref, uy_ref, uz_ref, uzp, uzm, out, *, bz: int, nz: int):
+def _div_kernel(ux_ref, uy_ref, uz_ref, uzp, uzm, out, *, bz: int, nz: int,
+                lx=None, ly=None):
     """out = 0.5 * (dx ux + dy uy + dz uz), edge-clamped central diffs.
     Each velocity component rides its own channel-pinned BlockSpec of the
     COMBINED state array (no channel slicing copies); uzp/uzm are the z
     channel's single edge planes (blocks i+1 / i-1).  Velocity may arrive
-    in the half storage dtype; the stencil runs f32."""
+    in the half storage dtype; the stencil runs f32.
+
+    lx/ly (and nz passed as the LOGICAL z extent) move the +edge clamps to
+    the logical extents on padded storage layouts (core/padding.py) -- same
+    op count, constant thresholds; ghost outputs are bounded garbage that
+    the logically-masked smoothers never consume."""
     f32 = jnp.float32
     ux, uy, uz = (ux_ref[0].astype(f32), uy_ref[0].astype(f32),
                   uz_ref[0].astype(f32))
-    dx = _shift_lane_clamped(ux, +1) - _shift_lane_clamped(ux, -1)
-    dy = _shift_sublane_clamped(uy, +1) - _shift_sublane_clamped(uy, -1)
+    dx = _shift_lane_clamped(ux, +1, hi=lx) - _shift_lane_clamped(ux, -1)
+    dy = _shift_sublane_clamped(uy, +1, hi=ly) - _shift_sublane_clamped(uy, -1)
     zm, zp = _z_neighbors(uz, uzm[0].astype(f32), uzp[0].astype(f32), bz, nz)
     out[...] = 0.5 * (dx + dy + (zp - zm))
 
 
 def _grad_damp_kernel(u_ref, pc, pzp, pzm, out, *, bz: int, nz: int, ny: int,
-                      nx: int, rho: float):
+                      nx: int, rho: float, logical_zyx=None):
     """out = damp(v - 0.5 * grad(p) / rho): the two post-Jacobi passes of the
     projection fused into one streaming pass (CSProject3D.hlsl:92-108).
 
@@ -89,34 +95,44 @@ def _grad_damp_kernel(u_ref, pc, pzp, pzm, out, *, bz: int, nz: int, ny: int,
     s = 0.5 / rho
     f32 = jnp.float32
     u = u_ref[0].astype(f32)
+    lz, ly, lx = logical_zyx or (nz, ny, nx)
 
-    # Boundary damp: pos in [-1, 1] per axis; outward components scale by
-    # clamp((0.97 - |pos|)/0.03, -1, 1).
-    def pos(n, iota_dim):
+    def ids3(iota_dim):
         ids = jax.lax.broadcasted_iota(jnp.int32, (bz, ny, nx), iota_dim)
-        if iota_dim == 0:
-            ids = ids + z0
-        return ((ids.astype(p.dtype) + 0.5) / n) * 2.0 - 1.0
+        return ids + z0 if iota_dim == 0 else ids
+
+    # Boundary damp: pos in [-1, 1] per axis (LOGICAL extents on padded
+    # storage); outward components scale by clamp((0.97 - |pos|)/0.03, -1, 1).
+    def pos(n, iota_dim):
+        return ((ids3(iota_dim).astype(p.dtype) + 0.5) / n) * 2.0 - 1.0
 
     def damp(u, pv):
         scale = jnp.clip((0.97 - jnp.abs(pv)) / 0.03, -1.0, 1.0)
-        return jnp.where(u * pv > 0.0, u * scale, u)
+        v = jnp.where(u * pv > 0.0, u * scale, u)
+        if logical_zyx is None:
+            return v
+        # Ghost velocity writes ZERO, (re-)establishing the padded layout's
+        # zero-ghost invariant (sim/padded.py) every projection.
+        mask = (ids3(0) < lz) & (ids3(1) < ly) & (ids3(2) < lx)
+        return jnp.where(mask, v, 0.0)
 
     @pl.when(ci == 0)
     def _():
-        gx = (_shift_lane_clamped(p, +1) - _shift_lane_clamped(p, -1)) * s
-        out[0] = damp(u - gx, pos(nx, 2)).astype(out.dtype)
+        gx = (_shift_lane_clamped(p, +1, hi=None if lx == nx else lx)
+              - _shift_lane_clamped(p, -1)) * s
+        out[0] = damp(u - gx, pos(lx, 2)).astype(out.dtype)
 
     @pl.when(ci == 1)
     def _():
-        gy = (_shift_sublane_clamped(p, +1) - _shift_sublane_clamped(p, -1)) * s
-        out[0] = damp(u - gy, pos(ny, 1)).astype(out.dtype)
+        gy = (_shift_sublane_clamped(p, +1, hi=None if ly == ny else ly)
+              - _shift_sublane_clamped(p, -1)) * s
+        out[0] = damp(u - gy, pos(ly, 1)).astype(out.dtype)
 
     @pl.when(ci == 2)
     def _():
-        zm, zp = _z_neighbors(p, pzm[...], pzp[...], bz, nz, z0=z0)
+        zm, zp = _z_neighbors(p, pzm[...], pzp[...], bz, lz, z0=z0)
         gz = (zp - zm) * s
-        out[0] = damp(u - gz, pos(nz, 0)).astype(out.dtype)
+        out[0] = damp(u - gz, pos(lz, 0)).astype(out.dtype)
 
 
 def _gradient_kernel(qc, qzp, qzm, out, *, bz: int, nz: int, ny: int, nx: int):
@@ -215,7 +231,8 @@ def _gi_light_kernel(qc, qzp, qzm, shadow, ao, coeffs, w3, env, out, *,
         out[ch] = env[ch] * sh_v + ambient
 
 
-def _prolong_correct_kernel(qc, ecc, ecp, ecm, pyt, px, out, *, bzc: int):
+def _prolong_correct_kernel(qc, ecc, ecp, ecm, pyt, px, out, *, bzc: int,
+                            lzc=None):
     """out = q + prolong(e_c): the multigrid's coarse-correction applied in
     one streaming pass over the fine volume (the XLA chain materializes two
     lateral-upsample intermediates plus the fine correction, ~4.5 volume
@@ -230,6 +247,7 @@ def _prolong_correct_kernel(qc, ecc, ecp, ecm, pyt, px, out, *, bzc: int):
     """
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST  # default MXU passes round f32 to bf16
+    zc0 = pl.program_id(0) * bzc  # hoisted (illegal inside pl.when)
     # Assembled coarse slab: (bzc + 2, nyc, nxc) with clamped edge planes.
     e = jnp.concatenate([ecm[...], ecc[...], ecp[...]], axis=0)
     planes = [jnp.dot(jnp.dot(pyt[...], e[j], precision=hi,
@@ -237,15 +255,26 @@ def _prolong_correct_kernel(qc, ecc, ecp, ecm, pyt, px, out, *, bzc: int):
                       px[...], precision=hi, preferred_element_type=f32)
               for j in range(bzc + 2)]
     e_up = jnp.stack(planes, axis=0)          # (bzc + 2, ny, nx)
+    e_hi = e_up[2:]
+    if lzc is not None:
+        # Padded storage: the +z coarse read clamps at the LOGICAL coarse
+        # edge plane lzc-1 (core/padding.py; matches _prolong_padded).
+        gc = (jax.lax.broadcasted_iota(jnp.int32, (bzc, 1, 1), 0) + zc0)
+        e_hi = jnp.where(gc == lzc - 1, e_up[1:-1], e_hi)
     even = 0.25 * e_up[:-2] + 0.75 * e_up[1:-1]
-    odd = 0.75 * e_up[1:-1] + 0.25 * e_up[2:]
+    odd = 0.75 * e_up[1:-1] + 0.25 * e_hi
     e_fine = jnp.stack([even, odd], axis=1).reshape(qc.shape)
     out[...] = qc[...] + e_fine
 
 
-def prolong_correct_pallas(q: jax.Array, e_c: jax.Array) -> jax.Array:
+def prolong_correct_pallas(q: jax.Array, e_c: jax.Array,
+                           logical_czyx=None) -> jax.Array:
     """q + mg._prolong(e_c) as one streaming pass; q (Z, Y, X) f32 fine,
-    e_c (Z/2, Y/2, X/2) f32 coarse."""
+    e_c (Z/2, Y/2, X/2) f32 coarse.
+
+    logical_czyx: COARSE logical extents on padded storage -- prolongation
+    reads clamp at the logical coarse edges (matches sim/padded.
+    _prolong_padded); None = compact."""
     import numpy as np
 
     from fluidx12_tpu.sim.mg import _prolong_matrix
@@ -266,10 +295,20 @@ def prolong_correct_pallas(q: jax.Array, e_c: jax.Array) -> jax.Array:
     ec_c, ec_p, ec_m = _zspecs(bzc, nyc, nxc, nzc)
     qspec = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0))
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    pyt = np.ascontiguousarray(_prolong_matrix(nyc).T)  # (ny, nyc)
-    px = _prolong_matrix(nxc)                           # (nxc, nx)
+    lzc = None
+    if logical_czyx is not None and tuple(logical_czyx) != (nzc, nyc, nxc):
+        from fluidx12_tpu.sim.padded import _prolong_matrix_logical
+
+        lzc, lyc, lxc = logical_czyx
+        if lzc == nzc:
+            lzc = None  # z unpadded: the array clamp is already logical
+        pyt = np.ascontiguousarray(_prolong_matrix_logical(nyc, lyc).T)
+        px = _prolong_matrix_logical(nxc, lxc)
+    else:
+        pyt = np.ascontiguousarray(_prolong_matrix(nyc).T)  # (ny, nyc)
+        px = _prolong_matrix(nxc)                           # (nxc, nx)
     return pl.pallas_call(
-        functools.partial(_prolong_correct_kernel, bzc=bzc),
+        functools.partial(_prolong_correct_kernel, bzc=bzc, lzc=lzc),
         interpret=(jax.default_backend() == "cpu"),
         out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
         grid=(nz // bz,),
@@ -280,14 +319,17 @@ def prolong_correct_pallas(q: jax.Array, e_c: jax.Array) -> jax.Array:
     )(q, e_c, e_c, e_c, jnp.asarray(pyt), jnp.asarray(px))
 
 
-def _residual_kernel(qc, qzp, qzm, bc, out, *, bz: int, nz: int):
+def _residual_kernel(qc, qzp, qzm, bc, out, *, bz: int, nz: int,
+                     lx=None, ly=None):
     """out = b - (sum(neighbors) - 6 q): the Poisson residual for the
     multigrid fast solver (sim/project.py).  Same fixed point as the Jacobi
-    sweep (CSPoisson.hlsli:8-26): residual 0 <=> q = (sum(nb) - b)/6."""
+    sweep (CSPoisson.hlsli:8-26): residual 0 <=> q = (sum(nb) - b)/6.
+    lx/ly (+ nz as the logical z extent) move the +edge clamps to the
+    logical extents on padded storage layouts."""
     f32 = jnp.float32
     q = qc[...].astype(f32)
-    s = _shift_lane_clamped(q, +1) + _shift_lane_clamped(q, -1)
-    s = s + _shift_sublane_clamped(q, +1) + _shift_sublane_clamped(q, -1)
+    s = _shift_lane_clamped(q, +1, hi=lx) + _shift_lane_clamped(q, -1)
+    s = s + _shift_sublane_clamped(q, +1, hi=ly) + _shift_sublane_clamped(q, -1)
     zm, zp = _z_neighbors(q, qzm[...].astype(f32), qzp[...].astype(f32), bz, nz)
     out[...] = bc[...].astype(f32) - (s + zm + zp - 6.0 * q)
 
@@ -373,11 +415,16 @@ def _zspecs(bz, ny, nx, nz, lead=None):
     return mk_center(), mk_edge(+1), mk_edge(-1)
 
 
-def divergence_pallas(fields: jax.Array, bz: int = 0) -> jax.Array:
+def divergence_pallas(fields: jax.Array, bz: int = 0,
+                      logical_zyx=None) -> jax.Array:
     """Central-difference divergence from a (C >= 3, Z, Y, X) field array
     whose channels 0..2 are velocity (the combined state array works
-    directly -- channel-pinned BlockSpecs, no slicing copies)."""
+    directly -- channel-pinned BlockSpecs, no slicing copies).
+
+    logical_zyx: the logical (Z, Y, X) extents on padded storage layouts
+    (core/padding.py) -- the +edge clamps move there; None = compact."""
     _, nz, ny, nx = fields.shape
+    lz, ly, lx = logical_zyx or (nz, ny, nx)
     vb = fields.dtype.itemsize
     if not bz:
         # 3 channel blocks (storage dtype) + f32 out + ~2 f32 temporaries.
@@ -395,7 +442,9 @@ def divergence_pallas(fields: jax.Array, bz: int = 0) -> jax.Array:
                             lambda i, c=c, plane=plane: (c, plane(i), 0, 0))
 
     return pl.pallas_call(
-        functools.partial(_div_kernel, bz=bz, nz=nz),
+        functools.partial(_div_kernel, bz=bz, nz=lz,
+                          lx=None if lx == nx else lx,
+                          ly=None if ly == ny else ly),
         interpret=(jax.default_backend() == "cpu"),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
         grid=(nz // bz,),
@@ -448,9 +497,12 @@ def gi_light_pallas(density: jax.Array, shadow: jax.Array, ao: jax.Array,
       env.astype(jnp.float32))
 
 
-def residual_pallas(pressure: jax.Array, b: jax.Array) -> jax.Array:
-    """Poisson residual b - A q of a (Z, Y, X) f32 pair (3D)."""
+def residual_pallas(pressure: jax.Array, b: jax.Array,
+                    logical_zyx=None) -> jax.Array:
+    """Poisson residual b - A q of a (Z, Y, X) f32 pair (3D).
+    logical_zyx: logical extents on padded storage (None = compact)."""
     nz, ny, nx = pressure.shape
+    lz, ly, lx = logical_zyx or (nz, ny, nx)
     # 3 f32 io stacks + ~4 block-sized f32 sweep temporaries (the +8
     # allowance; at bz=8 the kernel measured 16.19 MB of scoped VMEM and
     # OOM'd the 16 MB stack -- temporaries are real).
@@ -458,7 +510,9 @@ def residual_pallas(pressure: jax.Array, b: jax.Array) -> jax.Array:
     pc, pzp, pzm = _zspecs(bz, ny, nx, nz)
     bspec = pl.BlockSpec((bz, ny, nx), lambda i: (i, 0, 0))
     return pl.pallas_call(
-        functools.partial(_residual_kernel, bz=bz, nz=nz),
+        functools.partial(_residual_kernel, bz=bz, nz=lz,
+                          lx=None if lx == nx else lx,
+                          ly=None if ly == ny else ly),
         interpret=(jax.default_backend() == "cpu"),
         out_shape=jax.ShapeDtypeStruct(pressure.shape, jnp.float32),
         grid=(nz // bz,),
@@ -468,12 +522,16 @@ def residual_pallas(pressure: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def grad_damp_pallas(fields: jax.Array, pressure: jax.Array,
-                     rho: float) -> jax.Array:
+                     rho: float, logical_zyx=None) -> jax.Array:
     """Fused (v - 0.5*grad(p)/rho) + boundary damp applied IN PLACE on a
     (C >= 3, Z, Y, X) field array: the output aliases the input and only
     the velocity-channel blocks (0..2) are ever written, so extra channels
     (the combined state's color) pass through with ZERO read/write traffic.
-    Returns the full updated array."""
+    Returns the full updated array.
+
+    logical_zyx: logical extents on padded storage (core/padding.py) --
+    clamps/damp positions move to the logical extents and ghost velocity
+    writes ZERO (the padded layout's invariant); None = compact."""
     c, nz, ny, nx = fields.shape
     vb = fields.dtype.itemsize
     # 1 velocity channel in + aliased out (storage dtype) + f32 pressure
@@ -487,7 +545,8 @@ def grad_damp_pallas(fields: jax.Array, pressure: jax.Array,
     pzm = pl.BlockSpec((1, ny, nx),
                        lambda i, ci: (jnp.clip(i * bz - 1, 0, nz - 1), 0, 0))
     return pl.pallas_call(
-        functools.partial(_grad_damp_kernel, bz=bz, nz=nz, ny=ny, nx=nx, rho=rho),
+        functools.partial(_grad_damp_kernel, bz=bz, nz=nz, ny=ny, nx=nx,
+                          rho=rho, logical_zyx=logical_zyx),
         interpret=(jax.default_backend() == "cpu"),
         out_shape=jax.ShapeDtypeStruct(fields.shape, fields.dtype),
         grid=(nz // bz, 3),

@@ -207,6 +207,18 @@ def _residual_masked(q, b, zyx):
     return b - (_nbr_sum_masked(q, zyx) - 6.0 * q)
 
 
+def _stencil_kernels_ok(storage_zyx_, use_pallas: bool) -> bool:
+    """True when the streaming stencil kernels (ops/pallas/stencil.py with
+    `logical_zyx` clamps) should serve the padded projection: the XLA
+    masked twins materialize every edge-clamped shift as a full relayout
+    copy, while the kernels stream the volume once through VMEM."""
+    if not (use_pallas and jax.default_backend() == "tpu"):
+        return False
+    from fluidx12_tpu.ops.pallas.stencil import stencil_pallas_supported
+
+    return stencil_pallas_supported(storage_zyx_)
+
+
 def mg_solve_padded(q: jax.Array, b: jax.Array, zyx,
                     pre: int = mgm.MG_PRE, post: int = mgm.MG_POST,
                     coarse_iters: int = mgm.MG_COARSE_ITERS,
@@ -214,15 +226,34 @@ def mg_solve_padded(q: jax.Array, b: jax.Array, zyx,
     """One V(pre, post) cycle on the padded layout, logically masked at
     every level; interior-exact twin of sim/mg.mg_solve's XLA path.
     Smoothing rides the logically-clamped Pallas window kernels where the
-    storage shape tiles (_smooth_masked); transfers/residual stay XLA
-    (one-pass streaming ops)."""
+    storage shape tiles (_smooth_masked); residual and the prolong-correct
+    ride the streaming stencil kernels with logical clamps on TPU (the XLA
+    masked twins otherwise); restriction stays XLA (two MXU einsums + one
+    reshape-mean, already one-pass)."""
     q = _smooth_masked(q, b, pre, zyx, use_pallas)
-    r = _residual_masked(q, b, zyx)
-    r_c = _restrict_padded(r) * 4.0
     c_log = _coarse_zyx(zyx)
-    e_c = _smooth_masked(jnp.zeros_like(r_c), r_c, coarse_iters, c_log,
-                         use_pallas)
-    q = q + _prolong_padded(e_c, c_log)
+    if _stencil_kernels_ok(q.shape, use_pallas):
+        from fluidx12_tpu.ops.pallas.stencil import (
+            prolong_pallas_supported,
+            residual_pallas,
+        )
+
+        r = residual_pallas(q, b, logical_zyx=zyx)
+        r_c = _restrict_padded(r) * 4.0
+        e_c = _smooth_masked(jnp.zeros_like(r_c), r_c, coarse_iters, c_log,
+                             use_pallas)
+        if prolong_pallas_supported(q.shape):
+            from fluidx12_tpu.ops.pallas.stencil import prolong_correct_pallas
+
+            q = prolong_correct_pallas(q, e_c, logical_czyx=c_log)
+        else:
+            q = q + _prolong_padded(e_c, c_log)
+    else:
+        r = _residual_masked(q, b, zyx)
+        r_c = _restrict_padded(r) * 4.0
+        e_c = _smooth_masked(jnp.zeros_like(r_c), r_c, coarse_iters, c_log,
+                             use_pallas)
+        q = q + _prolong_padded(e_c, c_log)
     return _smooth_masked(q, b, post, zyx, use_pallas)
 
 
@@ -237,18 +268,31 @@ def project_padded(fields: jax.Array, pressure: jax.Array, time_step,
     use_mg = (config.fast_sim and config.mg_pressure
               and zyx[1] * zyx[2] >= config.mg_min_plane
               and mgm.mg_supported(zyx))
+    use_stencil = _stencil_kernels_ok(fields.shape[-3:], config.use_pallas)
 
     def run(args):
         # Arithmetic/dtype ordering mirrors sim/project.project's XLA twin
         # exactly (divergence in the storage dtype then cast, per-component
         # gradient casts) so the interior is BIT-equal to the compact path.
+        # On TPU the streaming stencil kernels serve divergence and the
+        # fused grad+damp with their clamps at the logical extents (same
+        # twin relationship as the compact path's use_stencil route).
         flds, q = args
-        b = divergence_masked(flds, zyx).astype(jnp.float32)
+        if use_stencil:
+            from fluidx12_tpu.ops.pallas.stencil import divergence_pallas
+
+            b = divergence_pallas(flds, logical_zyx=zyx)
+        else:
+            b = divergence_masked(flds, zyx).astype(jnp.float32)
         if use_mg:
             q = mg_solve_padded(q, b, zyx, use_pallas=config.use_pallas)
         else:
             q = _smooth_masked(q, b, config.num_pressure_iters, zyx,
                                config.use_pallas)
+        if use_stencil:
+            from fluidx12_tpu.ops.pallas.stencil import grad_damp_pallas
+
+            return grad_damp_pallas(flds, q, rho, logical_zyx=zyx), q
         vel = subtract_gradient_masked(flds, q, rho, zyx)
         vel = boundary_damp_padded(vel, config).astype(flds.dtype)
         return jnp.concatenate([vel, flds[3:]], axis=0), q

@@ -260,6 +260,84 @@ def test_masked_jacobi_kernels_match_xla_twin():
         assert np.isfinite(got).all()
 
 
+def test_logical_stencil_kernels_match_masked_twins():
+    """divergence_pallas / residual_pallas / grad_damp_pallas /
+    prolong_correct_pallas with logical clamps (interpret mode) == the
+    masked XLA twins of sim/padded.py on the logical interior, with
+    poisoned ghosts.  These are the kernels the padded projection routes
+    through on TPU (sim/padded.py _stencil_kernels_ok)."""
+    from fluidx12_tpu.ops.pallas.stencil import (
+        divergence_pallas,
+        grad_damp_pallas,
+        prolong_correct_pallas,
+        residual_pallas,
+    )
+    from fluidx12_tpu.sim.padded import (
+        _coarse_zyx,
+        _prolong_padded,
+        _residual_masked,
+        boundary_damp_padded,
+        divergence_masked,
+        subtract_gradient_masked,
+    )
+
+    storage, logical = (32, 160, 256), (24, 150, 150)
+    rng = np.random.default_rng(17)
+    flds = rng.uniform(-0.5, 0.5, (7,) + storage).astype(np.float32)
+    flds[:, logical[0]:] = 7.0   # poisoned ghosts
+    flds[:, :, logical[1]:] = -7.0
+    flds[:, :, :, logical[2]:] = 7.0
+    q = rng.uniform(-1, 1, storage).astype(np.float32)
+    lz, ly, lx = logical
+    cfg = _f32_cfg(grid_size=(logical[2], logical[1], logical[0]))
+    flds_j = jnp.asarray(flds)
+
+    b_got = np.asarray(divergence_pallas(flds_j, logical_zyx=logical))
+    b_want = np.asarray(divergence_masked(flds_j, logical))
+    np.testing.assert_allclose(b_got[:lz, :ly, :lx], b_want[:lz, :ly, :lx],
+                               atol=2e-6)
+    assert np.isfinite(b_got).all()
+
+    r_got = np.asarray(residual_pallas(jnp.asarray(q), jnp.asarray(b_want),
+                                       logical_zyx=logical))
+    r_want = np.asarray(_residual_masked(jnp.asarray(q), jnp.asarray(b_want),
+                                         logical))
+    np.testing.assert_allclose(r_got[:lz, :ly, :lx], r_want[:lz, :ly, :lx],
+                               atol=2e-5)
+    assert np.isfinite(r_got).all()
+
+    vel = subtract_gradient_masked(flds_j, jnp.asarray(q), 1.25, logical)
+    f_want = np.asarray(boundary_damp_padded(vel, cfg))
+    f_got = np.asarray(grad_damp_pallas(flds_j, jnp.asarray(q), 1.25,
+                                        logical_zyx=logical))
+    # atol: inside the 3% damp band a 1-ulp difference in pos (XLA
+    # strength-reduces the /n_log divide, Mosaic does not) is amplified
+    # 33x by the (0.97 - |pos|)/0.03 scale -- measured ~2e-6 at the
+    # logical +edges, same class the compact kernel twins tolerate.
+    np.testing.assert_allclose(f_got[:3, :lz, :ly, :lx],
+                               f_want[:3, :lz, :ly, :lx], atol=1e-5)
+    # Ghost velocity writes ZERO (the padded layout's invariant).
+    assert (f_got[:3, lz:] == 0).all()
+    assert (f_got[:3, :, ly:] == 0).all()
+    assert (f_got[:3, :, :, lx:] == 0).all()
+    # Color channels pass through untouched.
+    np.testing.assert_array_equal(f_got[3:], flds[3:])
+
+    c_log = _coarse_zyx(logical)
+    e_c = rng.uniform(-1, 1, tuple(n // 2 for n in storage)).astype(np.float32)
+    e_c[c_log[0]:] = 5.0
+    e_c[:, c_log[1]:] = -5.0
+    e_c[:, :, c_log[2]:] = 5.0
+    p_got = np.asarray(prolong_correct_pallas(jnp.asarray(q),
+                                              jnp.asarray(e_c),
+                                              logical_czyx=c_log))
+    p_want = np.asarray(jnp.asarray(q) + _prolong_padded(jnp.asarray(e_c),
+                                                         c_log))
+    np.testing.assert_allclose(p_got[:lz, :ly, :lx], p_want[:lz, :ly, :lx],
+                               atol=2e-5)
+    assert np.isfinite(p_got).all()
+
+
 def test_padded_ghost_velocity_invariant():
     """The projection re-zeroes ghost velocity every step (self-healing),
     so the Pallas tap-tier predicates follow the logical flow; seed the

@@ -58,10 +58,16 @@ def jacobi_sweeps(pressure: jax.Array, div: jax.Array, iters: int, is_3d: bool) 
             s = s + neighbor_shift(q, _AX_Z, +1) + neighbor_shift(q, _AX_Z, -1)
         return s
 
-    def body(_, q):
-        return (neighbor_sum(q) - div) / n
+    def body(q, _):
+        return (neighbor_sum(q) - div) / n, None
 
-    return jax.lax.fori_loop(0, iters, body, pressure)
+    # lax.scan rather than fori_loop: identical trace (same rolled XLA while
+    # loop, no per-iteration outputs) but reverse-mode differentiable, which
+    # makes the whole faithful pipeline an adjoint solver -- jax.grad through
+    # `simulate` works end-to-end (tests/test_adjoint.py), a capability the
+    # DX12 reference cannot express.
+    q, _ = jax.lax.scan(body, pressure, None, length=iters)
+    return q
 
 
 def subtract_gradient(velocity: jax.Array, pressure: jax.Array, rho: float, is_3d: bool) -> jax.Array:

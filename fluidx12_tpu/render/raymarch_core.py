@@ -114,8 +114,14 @@ def local_to_tex(pos: jax.Array) -> jax.Array:
 
 
 def get_step(d_density, transm, density, step_scale):
-    """Adaptive step controller (RayMarch.hlsli:200-210)."""
-    factor_ev = jnp.minimum(1.0 / 256.0 / jnp.abs(d_density), 2.0)
+    """Adaptive step controller (RayMarch.hlsli:200-210).
+
+    factor_ev is written as division by a clamped denominator rather than
+    `min(1/256/|dd|, 2)`: bit-identical values everywhere (the clamp bound
+    1/512 and the cap 2 are exact powers of two), but the reverse-mode
+    cotangent stays finite at dd == 0 where the naive form's masked
+    `inf * 0` poisons gradients (tests/test_adjoint.py)."""
+    factor_ev = (1.0 / 256.0) / jnp.maximum(jnp.abs(d_density), 1.0 / 512.0)
     factor_ui = jnp.minimum(1.0 - density, 1.0)
     factor_th = 1.0 - transm
     return step_scale * jnp.maximum(1.5 * factor_ev * factor_ui * factor_th, 1.0)
@@ -269,9 +275,12 @@ def cast_light_ray(
     t0 = jnp.full(origin.shape[:-1], step_scale, origin.dtype)
     prev0 = jnp.zeros(origin.shape[:-1], origin.dtype)
     alive0 = transm0 >= zero  # ref: shadow-map pre-test guard (RayMarch.hlsli:268)
-    _, transm, _, _ = jax.lax.fori_loop(
-        0, max_samples, body, (t0, transm0, prev0, alive0)
-    )
+    # lax.scan over an index iota, not fori_loop: the same rolled XLA loop,
+    # but reverse-mode differentiable (tests/test_adjoint.py renders with
+    # jax.grad through the faithful marcher).
+    (_, transm, _, _), _ = jax.lax.scan(
+        lambda c, i: (body(i, c), None),
+        (t0, transm0, prev0, alive0), jnp.arange(max_samples))
     return transm
 
 
@@ -403,8 +412,9 @@ def view_march(
     t0 = jnp.zeros(origin.shape[:-1], dtype)
     scatter0 = jnp.zeros(origin.shape[:-1] + (4,), dtype)
     prev0 = jnp.zeros(origin.shape[:-1], dtype)
-    _, scatter, _, _ = jax.lax.fori_loop(
-        0, config.max_ray_samples, body, (t0, scatter0, prev0, active)
-    )
+    # Scan form for reverse-mode differentiability (see cast_light_ray).
+    (_, scatter, _, _), _ = jax.lax.scan(
+        lambda c, i: (body(i, c), None),
+        (t0, scatter0, prev0, active), jnp.arange(config.max_ray_samples))
     scatter = scatter.at[..., :3].multiply(1.0 / (2.0 * jnp.pi))
     return jnp.where(active[..., None], scatter, 0.0)

@@ -73,6 +73,53 @@ def test_grad_matches_finite_differences():
     np.testing.assert_allclose(ad, fd, rtol=5e-2, atol=5e-4)
 
 
+def test_grad_through_faithful_render():
+    """Differentiable volume rendering: jax.grad flows from a rendered-image
+    loss back to the initial velocity through the FULL faithful frame --
+    simulate -> per-voxel light march (cast_light_ray) -> cube-map view
+    march (march_rays) -> gather resolve.  quantize_cube_map is off (u8
+    rounding has zero gradient a.e.)."""
+    from fluidx12_tpu.core.config import RenderMethod
+    from fluidx12_tpu.models.smoke import SmokeModel
+
+    cfg = FluidConfig(grid_size=(16, 16, 16), viewport=(24, 24),
+                      fast_sim=False, fast_render=False, use_pallas=False,
+                      mg_pressure=False, num_pressure_iters=4,
+                      max_ray_samples=12, max_light_samples=4,
+                      quantize_cube_map=False, sim_dtype=jnp.float32)
+    model = SmokeModel(cfg, method=RenderMethod.RAY_MARCH_SEPARATE)
+    params = model.default_params()
+    state0 = model.init()
+    # Two warm steps put smoke in the volume so rays actually hit density.
+    for _ in range(2):
+        state0, _ = jax.jit(model.step)(state0, params)
+
+    def image_loss(v_pert, state):
+        fields = state.fields.at[:3].add(v_pert.reshape((3,) + cfg.zyx))
+        st = FluidState(fields=fields, pressure=state.pressure)
+        _, image = model.step(st, params)
+        return jnp.sum(image)
+
+    v0 = jnp.zeros(3 * 16 * 16 * 16, jnp.float32)
+    loss = jax.jit(image_loss)
+    g = jax.jit(jax.grad(image_loss))(v0, state0)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).max() > 1e-8
+
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=v0.shape).astype(np.float32)
+    d /= np.linalg.norm(d)
+    d = jnp.asarray(d)
+    eps = 2e-2
+    fd = (float(loss(v0 + eps * d, state0))
+          - float(loss(v0 - eps * d, state0))) / (2 * eps)
+    ad = float(jnp.vdot(jnp.asarray(g), d))
+    # The march's alive/step logic makes the image only piecewise-smooth in
+    # the fields; the FD secant still tracks the adjoint to a few percent.
+    np.testing.assert_allclose(ad, fd, rtol=8e-2, atol=1e-3)
+
+
 def test_jacobi_scan_matches_fori_semantics():
     """The scan-based sweeps are trace-identical to the old fori_loop form:
     pin against a hand-rolled Python loop of the same update."""
